@@ -1,0 +1,163 @@
+"""Primitive NN layers: NHWC convs, folded frozen BatchNorm, pooling, linear.
+
+TPU-native replacement for ``detectron2/layers/wrappers.py`` and
+``batch_norm.py``. Design notes:
+
+  * NHWC layout everywhere — the native TPU conv layout (the reference is
+    NCHW CUDA). Weights are HWIO.
+  * FrozenBatchNorm2d (``batch_norm.py:14``) is a per-channel affine with
+    constants folded from (weight, bias, running_mean, running_var) at
+    checkpoint-import time — at runtime it's just scale*x + bias, which XLA
+    fuses into the preceding conv.
+  * Params are plain nested dicts of jnp arrays (pytrees), applied by pure
+    functions; ``dtype`` selects the compute precision (bf16 for MXU speed,
+    params stay f32).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# initializers (weight_init.c2_msra_fill / normal fills of the reference)
+# ---------------------------------------------------------------------------
+
+
+def msra_conv_init(key, kh, kw, cin, cout, dtype=jnp.float32) -> Array:
+    """He/MSRA fan-out normal init (caffe2 msra fill)."""
+    fan_out = kh * kw * cout
+    std = math.sqrt(2.0 / fan_out)
+    return jax.random.normal(key, (kh, kw, cin, cout), dtype) * std
+
+
+def normal_init(key, shape, std=0.01, dtype=jnp.float32) -> Array:
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def init_conv(
+    key, kh, kw, cin, cout, bias: bool = True, init_std: Optional[float] = None
+):
+    kw_, kb_ = jax.random.split(key)
+    if init_std is None:
+        w = msra_conv_init(kw_, kh, kw, cin, cout)
+    else:
+        w = normal_init(kw_, (kh, kw, cin, cout), init_std)
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def init_affine(cout: int):
+    """Folded FrozenBN: identity until a checkpoint overwrites it."""
+    return {"scale": jnp.ones((cout,), jnp.float32), "bias": jnp.zeros((cout,), jnp.float32)}
+
+
+def init_linear(key, cin, cout, init_std: Optional[float] = None, bias: bool = True):
+    kw_, _ = jax.random.split(key)
+    if init_std is None:
+        # caffe2 XavierFill: uniform(-a, a), a = sqrt(3/fan_in)
+        a = math.sqrt(3.0 / cin)
+        w = jax.random.uniform(kw_, (cin, cout), jnp.float32, -a, a)
+    else:
+        w = normal_init(kw_, (cin, cout), init_std)
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def fold_batchnorm(weight, bias, running_mean, running_var, eps=1e-5):
+    """Fold BN statistics into (scale, bias) affine constants."""
+    weight = np.asarray(weight, np.float64)
+    bias = np.asarray(bias, np.float64)
+    mean = np.asarray(running_mean, np.float64)
+    var = np.asarray(running_var, np.float64)
+    scale = weight / np.sqrt(var + eps)
+    return {
+        "scale": jnp.asarray(scale, jnp.float32),
+        "bias": jnp.asarray(bias - mean * scale, jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# apply functions
+# ---------------------------------------------------------------------------
+
+
+def conv2d(
+    x: Array,  # (N, H, W, Cin) or (H, W, Cin)
+    params,
+    stride: int = 1,
+    padding="SAME",
+    dtype=None,
+) -> Array:
+    """2-D convolution, NHWC x HWIO -> NHWC. ``padding`` is an int (symmetric
+    explicit pad, torch-style), "SAME", or "VALID"."""
+    w = params["w"]
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32 if dtype == jnp.bfloat16 else None,
+    )
+    if dtype is not None:
+        out = out.astype(dtype)
+    if "b" in params:
+        out = out + params["b"].astype(out.dtype)
+    return out[0] if squeeze else out
+
+
+def affine(x: Array, params) -> Array:
+    """Per-channel scale + bias (folded FrozenBN)."""
+    return x * params["scale"].astype(x.dtype) + params["bias"].astype(x.dtype)
+
+
+def linear(x: Array, params) -> Array:
+    out = jnp.dot(x, params["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype)
+    if "b" in params:
+        out = out + params["b"].astype(out.dtype)
+    return out
+
+
+def max_pool(x: Array, window: int, stride: int, padding: int = 0) -> Array:
+    """Max pooling, NHWC (or HWC). torch-style symmetric explicit padding."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    out = jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=pads,
+    )
+    return out[0] if squeeze else out
+
+
+def upsample_nearest_2x(x: Array) -> Array:
+    """Nearest-neighbor 2x upsample, NHWC or HWC (FPN top-down path)."""
+    h_axis = x.ndim - 3
+    x = jnp.repeat(x, 2, axis=h_axis)
+    return jnp.repeat(x, 2, axis=h_axis + 1)

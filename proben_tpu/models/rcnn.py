@@ -1,0 +1,289 @@
+"""GeneralizedRCNN meta-architecture with multimodal fusion modes.
+
+Rebuild of the reference fork's ``detectron2/modeling/meta_arch/rcnn.py:22``:
+
+  * ``BGR`` — standard 3-channel Faster R-CNN (thermal-only or rgb-only runs
+    simply feed the corresponding 3-channel image).
+  * ``BGRT`` — early fusion: 4-channel input, single backbone whose stem has
+    4 input channels (reference ``rcnn.py:36-45``, ``resnet.py:483-487``).
+  * ``BGRTTT`` — middle fusion: 6-channel input split into two 3-channel
+    streams through two ResNet-FPN backbones, per-level channel concat before
+    RPN/RoI heads (reference ``rcnn.py:52-60,183-197``). Normalization uses
+    separate RGB/thermal means and a shared std (reference ``rcnn.py:61-66``).
+
+The reference has an inference quirk — the thermal stream reuses the RGB
+backbone at eval time (``rcnn.py:240-248``). We default to the *training*
+semantics (separate backbones) and expose
+``middle_fusion_inference_shares_backbone`` for bug-parity experiments.
+
+Everything is batched NHWC with static shapes; per-image stages (proposal
+selection, RoI heads) are vmapped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..structures.boxes import clip_boxes
+from ..structures.detections import Detections, GroundTruth
+from .anchors import multilevel_anchors
+from .box_head import init_box_head, init_output_layers
+from .fast_rcnn import FastRCNNConfig
+from .fpn import FPN_STRIDES, apply_fpn, init_fpn
+from .resnet import STAGE_OUT_CHANNELS, apply_resnet, init_resnet
+from .roi_heads import (
+    ROIHeadsConfig,
+    roi_heads_forward_inference,
+    roi_heads_forward_train,
+)
+from .rpn import RPNConfig, apply_rpn_head, find_top_proposals, init_rpn_head, rpn_losses
+
+Array = jnp.ndarray
+
+RPN_IN_FEATURES = ("p2", "p3", "p4", "p5", "p6")
+ROI_IN_FEATURES = ("p2", "p3", "p4", "p5")
+ANCHOR_SIZES = ((32.0,), (64.0,), (128.0,), (256.0,), (512.0,))
+ANCHOR_ASPECT_RATIOS = (0.5, 1.0, 2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static model hyperparameters (the MODEL.* keys the ProbEn path uses)."""
+
+    depth: int = 50
+    input_format: str = "BGR"  # BGR | BGRT | BGRTTT
+    num_classes: int = 3
+    pixel_mean: Tuple[float, ...] = (103.53, 116.28, 123.675)
+    pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    freeze_at: int = 2
+    fpn_channels: int = 256
+    enable_gaussian_nll: bool = False
+    compute_dtype: str = "float32"  # "bfloat16" for MXU speed
+    middle_fusion_inference_shares_backbone: bool = False
+    rpn: RPNConfig = dataclasses.field(default_factory=RPNConfig)
+    roi: ROIHeadsConfig = dataclasses.field(default_factory=ROIHeadsConfig)
+    rcnn: FastRCNNConfig = dataclasses.field(default_factory=FastRCNNConfig)
+
+    @property
+    def num_in_channels(self) -> int:
+        return {"BGR": 3, "BGRT": 4, "BGRTTT": 6}[self.input_format]
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+
+    @property
+    def head_in_channels(self) -> int:
+        return self.fpn_channels * (2 if self.input_format == "BGRTTT" else 1)
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def build_config(**kw) -> ModelConfig:
+    """Convenience builder that threads shared fields into sub-configs."""
+    num_classes = kw.pop("num_classes", 3)
+    enable_gnll = kw.pop("enable_gaussian_nll", False)
+    rcnn = kw.pop("rcnn", FastRCNNConfig(num_classes=num_classes, enable_gaussian_nll=enable_gnll))
+    roi = kw.pop("roi", ROIHeadsConfig(num_classes=num_classes))
+    return ModelConfig(
+        num_classes=num_classes, enable_gaussian_nll=enable_gnll, rcnn=rcnn, roi=roi, **kw
+    )
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init_rcnn(key, cfg: ModelConfig) -> Dict:
+    k_bb, k_bb2, k_fpn, k_fpn2, k_rpn, k_bh, k_out = jax.random.split(key, 7)
+    dual = cfg.input_format == "BGRTTT"
+    stem_in = 3 if dual else cfg.num_in_channels
+
+    params: Dict = {
+        "backbone": init_resnet(k_bb, cfg.depth, in_channels=stem_in),
+        "fpn": init_fpn(k_fpn, STAGE_OUT_CHANNELS, cfg.fpn_channels),
+        "rpn_head": init_rpn_head(k_rpn, cfg.head_in_channels, len(ANCHOR_ASPECT_RATIOS)),
+        "roi": {
+            "box_head": init_box_head(
+                k_bh, cfg.head_in_channels, cfg.roi.pooler_resolution
+            ),
+            "output": init_output_layers(
+                k_out,
+                num_classes=cfg.num_classes,
+                enable_variance=cfg.enable_gaussian_nll,
+            ),
+        },
+    }
+    if dual:
+        params["backbone_2"] = init_resnet(k_bb2, cfg.depth, in_channels=3)
+        params["fpn_2"] = init_fpn(k_fpn2, STAGE_OUT_CHANNELS, cfg.fpn_channels)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward pieces
+# ---------------------------------------------------------------------------
+
+
+def preprocess(cfg: ModelConfig, images: Array) -> Array:
+    """Normalize raw (N, H, W, C) images (values 0..255, BGR[+T] channel order).
+
+    BGRTTT uses the split normalizers of reference ``rcnn.py:61-66,269-286``:
+    RGB channels with pixel_mean[:3], thermal with pixel_mean[3:], shared
+    pixel_std[:3].
+    """
+    if cfg.input_format == "BGRTTT":
+        mean_rgb = jnp.asarray(cfg.pixel_mean[:3], jnp.float32)
+        mean_t = jnp.asarray(cfg.pixel_mean[3:6], jnp.float32)
+        std = jnp.asarray(cfg.pixel_std[:3], jnp.float32)
+        rgb = (images[..., :3] - mean_rgb) / std
+        thermal = (images[..., 3:] - mean_t) / std
+        return jnp.concatenate([rgb, thermal], axis=-1)
+    def fit(vals):
+        vals = list(vals)
+        # pad with the last entry if the config gives fewer entries than
+        # channels (e.g. 3-entry PIXEL_STD with a 4-channel BGRT input)
+        vals = vals + [vals[-1]] * (cfg.num_in_channels - len(vals))
+        return jnp.asarray(vals[: cfg.num_in_channels], jnp.float32)
+
+    return (images - fit(cfg.pixel_mean)) / fit(cfg.pixel_std)
+
+
+def extract_features(
+    params: Dict, cfg: ModelConfig, images: Array, training: bool = False
+) -> Dict[str, Array]:
+    """Backbone(+fusion)+FPN. ``images`` already normalized (N, H, W, C)."""
+    dtype = cfg.dtype
+    freeze = cfg.freeze_at if training else 0
+    if cfg.input_format == "BGRTTT":
+        rgb, thermal = images[..., :3], images[..., 3:]
+        f_rgb = apply_fpn(
+            params["fpn"], apply_resnet(params["backbone"], rgb, freeze_at=freeze, dtype=dtype), dtype=dtype
+        )
+        bb2 = "backbone" if (not training and cfg.middle_fusion_inference_shares_backbone) else "backbone_2"
+        fpn2 = "fpn" if (not training and cfg.middle_fusion_inference_shares_backbone) else "fpn_2"
+        f_t = apply_fpn(
+            params[fpn2], apply_resnet(params[bb2], thermal, freeze_at=freeze, dtype=dtype), dtype=dtype
+        )
+        return {k: jnp.concatenate([f_rgb[k], f_t[k]], axis=-1) for k in f_rgb}
+    feats = apply_resnet(params["backbone"], images, freeze_at=freeze, dtype=dtype)
+    return apply_fpn(params["fpn"], feats, dtype=dtype)
+
+
+def _anchors_for(features: Dict[str, Array]):
+    shapes = [features[f].shape[1:3] for f in RPN_IN_FEATURES]
+    strides = [FPN_STRIDES[f] for f in RPN_IN_FEATURES]
+    return multilevel_anchors(shapes, strides, ANCHOR_SIZES, ANCHOR_ASPECT_RATIOS)
+
+
+# ---------------------------------------------------------------------------
+# full forwards
+# ---------------------------------------------------------------------------
+
+
+def rcnn_inference(
+    params: Dict,
+    cfg: ModelConfig,
+    images: Array,  # (N, H, W, C) raw 0..255
+    image_sizes: Array,  # (N, 2) true (h, w) before padding
+) -> Detections:
+    """Batched inference. Returns batched Detections (leading axis N) with
+    boxes in the model-input coordinate frame (use ``postprocess_boxes`` to
+    rescale to original frames)."""
+    x = preprocess(cfg, images)
+    features = extract_features(params, cfg, x, training=False)
+    rpn_feats = [features[f] for f in RPN_IN_FEATURES]
+    logits, deltas = apply_rpn_head(params["rpn_head"], rpn_feats, dtype=cfg.dtype)
+    anchors = _anchors_for(features)
+
+    def per_image(logits_i, deltas_i, size_i, feats_i):
+        boxes, scores, valid = find_top_proposals(
+            logits_i,
+            deltas_i,
+            anchors,
+            (size_i[0], size_i[1]),
+            cfg.rpn.pre_nms_topk_test,
+            cfg.rpn.post_nms_topk_test,
+            cfg.rpn.nms_thresh,
+            cfg.rpn.min_box_side_len,
+        )
+        return roi_heads_forward_inference(
+            params["roi"],
+            feats_i,
+            boxes,
+            valid,
+            (size_i[0], size_i[1]),
+            cfg.roi,
+            cfg.rcnn,
+            dtype=cfg.dtype,
+        )
+
+    roi_feats = [features[f] for f in ROI_IN_FEATURES]
+    return jax.vmap(per_image)(logits, deltas, image_sizes, roi_feats)
+
+
+def rcnn_train_losses(
+    params: Dict,
+    cfg: ModelConfig,
+    images: Array,  # (N, H, W, C) raw
+    image_sizes: Array,  # (N, 2)
+    gt: GroundTruth,  # batched (N, G, ...)
+    key: jax.Array,
+) -> Dict[str, Array]:
+    """Batched training losses (dict of scalars, averaged over images)."""
+    n = images.shape[0]
+    x = preprocess(cfg, images)
+    features = extract_features(params, cfg, x, training=True)
+    rpn_feats = [features[f] for f in RPN_IN_FEATURES]
+    logits, deltas = apply_rpn_head(params["rpn_head"], rpn_feats, dtype=cfg.dtype)
+    anchors = _anchors_for(features)
+    keys = jax.random.split(key, (n, 2))
+
+    def per_image(logits_i, deltas_i, size_i, feats_i, gt_i, keys_i):
+        losses = rpn_losses(
+            logits_i, deltas_i, anchors, gt_i.boxes, gt_i.valid, keys_i[0], cfg.rpn
+        )
+        # proposals with gradient stopped (reference detaches proposals too)
+        boxes, scores, valid = find_top_proposals(
+            [jax.lax.stop_gradient(l) for l in logits_i],
+            [jax.lax.stop_gradient(d) for d in deltas_i],
+            anchors,
+            (size_i[0], size_i[1]),
+            cfg.rpn.pre_nms_topk_train,
+            cfg.rpn.post_nms_topk_train,
+            cfg.rpn.nms_thresh,
+            cfg.rpn.min_box_side_len,
+        )
+        det_losses = roi_heads_forward_train(
+            params["roi"], feats_i, boxes, valid, gt_i, keys_i[1], cfg.roi, cfg.rcnn,
+            dtype=cfg.dtype,
+        )
+        losses.update(det_losses)
+        return losses
+
+    roi_feats = [features[f] for f in ROI_IN_FEATURES]
+    per_image_losses = jax.vmap(per_image)(
+        logits, deltas, image_sizes, roi_feats, gt, keys
+    )
+    return {k: jnp.mean(v) for k, v in per_image_losses.items()}
+
+
+def postprocess_boxes(
+    det: Detections, input_size, output_size
+) -> Detections:
+    """Rescale detection boxes from the (resized) model-input frame to the
+    original image frame (reference ``postprocessing.py:8``
+    detector_postprocess)."""
+    in_h, in_w = input_size
+    out_h, out_w = output_size
+    sx = out_w / in_w
+    sy = out_h / in_h
+    boxes = det.boxes * jnp.asarray([sx, sy, sx, sy], jnp.float32)
+    boxes = clip_boxes(boxes, (out_h, out_w))
+    return dataclasses.replace(det, boxes=boxes)

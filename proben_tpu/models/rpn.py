@@ -1,0 +1,183 @@
+"""Region Proposal Network: shared head, proposal selection, and losses.
+
+Rebuild of reference ``detectron2/modeling/proposal_generator/rpn.py`` and
+``rpn_outputs.py``. TPU-first differences:
+  * all shapes static: per-level top-k is min(pre_nms_topk, H*W*A) at trace
+    time; NMS returns masks; the post-NMS set is a fixed-size top-k with a
+    validity mask instead of a ragged Instances list
+  * per-level NMS runs as L independent small NMS problems (exactly
+    equivalent to the reference's level-id batched_nms at ``rpn_outputs.py:148``
+    but O(sum n_l^2) instead of O((sum n_l)^2))
+  * losses are computed with masked reductions over fixed-size samples
+
+Parity notes: objectness is flattened in (H, W, A) order and deltas in
+(H, W, A, 4), matching the reference's permutes, so torch checkpoints map 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.box_transform import apply_deltas, get_deltas
+from ..ops.matcher import match
+from ..ops.nms import nms_mask
+from ..ops.sampling import subsample_labels
+from ..structures.boxes import clip_boxes, nonempty_boxes, pairwise_iou
+from .layers import conv2d, init_conv
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class RPNConfig:
+    """Static RPN hyperparameters (reference config/defaults.py RPN section)."""
+
+    pre_nms_topk_train: int = 2000  # per level
+    pre_nms_topk_test: int = 1000
+    post_nms_topk_train: int = 1000  # total
+    post_nms_topk_test: int = 1000
+    nms_thresh: float = 0.7
+    min_box_side_len: float = 0.0
+    batch_size_per_image: int = 256
+    positive_fraction: float = 0.5
+    iou_thresholds: Tuple[float, float] = (0.3, 0.7)
+    smooth_l1_beta: float = 0.0
+    loss_weight: float = 1.0
+    num_anchors: int = 3  # A per location
+
+
+def init_rpn_head(key, in_channels: int, num_anchors: int = 3) -> Dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "conv": init_conv(k1, 3, 3, in_channels, in_channels, init_std=0.01),
+        "objectness": init_conv(k2, 1, 1, in_channels, num_anchors, init_std=0.01),
+        "deltas": init_conv(k3, 1, 1, in_channels, num_anchors * 4, init_std=0.01),
+    }
+
+
+def apply_rpn_head(
+    params, features: Sequence[Array], dtype=None
+) -> Tuple[List[Array], List[Array]]:
+    """Shared head over levels. Each feature (N, H, W, C).
+
+    Returns per level: logits (N, H*W*A) and deltas (N, H*W*A, 4), flattened
+    in (H, W, A) order.
+    """
+    logits, deltas = [], []
+    for f in features:
+        t = jax.nn.relu(conv2d(f, params["conv"], stride=1, padding=1, dtype=dtype))
+        o = conv2d(t, params["objectness"], stride=1, padding=0, dtype=dtype)
+        d = conv2d(t, params["deltas"], stride=1, padding=0, dtype=dtype)
+        n = f.shape[0]
+        logits.append(o.reshape(n, -1).astype(jnp.float32))
+        deltas.append(d.reshape(n, -1, 4).astype(jnp.float32))
+    return logits, deltas
+
+
+def _decode_level_proposals(deltas: Array, anchors: Array) -> Array:
+    """(HWA, 4) deltas + (HWA, 4) anchors -> (HWA, 4) boxes (RPN weights 1111)."""
+    return apply_deltas(deltas, anchors)
+
+
+def find_top_proposals(
+    logits: Sequence[Array],  # per level (HWA,) — single image
+    deltas: Sequence[Array],  # per level (HWA, 4)
+    anchors: Sequence[Array],  # per level (HWA, 4)
+    image_size: Tuple[Array, Array],  # true (h, w), may be traced
+    pre_nms_topk: int,
+    post_nms_topk: int,
+    nms_thresh: float,
+    min_box_side_len: float = 0.0,
+) -> Tuple[Array, Array, Array]:
+    """Single-image proposal selection (reference ``find_top_rpn_proposals``).
+
+    Returns (boxes (P, 4), scores (P,), valid (P,)) with P = post_nms_topk.
+    """
+    kept_boxes, kept_scores = [], []
+    for lg, dl, an in zip(logits, deltas, anchors):
+        k = min(pre_nms_topk, lg.shape[0])
+        top_scores, top_idx = jax.lax.top_k(lg, k)
+        boxes = _decode_level_proposals(dl[top_idx], an[top_idx])
+        boxes = clip_boxes(boxes, image_size)
+        valid = nonempty_boxes(boxes, min_box_side_len)
+        keep = nms_mask(boxes, top_scores, valid, nms_thresh)
+        kept_boxes.append(boxes)
+        kept_scores.append(jnp.where(keep, top_scores, -jnp.inf))
+
+    all_boxes = jnp.concatenate(kept_boxes, axis=0)
+    all_scores = jnp.concatenate(kept_scores, axis=0)
+    final_scores, final_idx = jax.lax.top_k(all_scores, post_nms_topk)
+    final_valid = jnp.isfinite(final_scores)
+    final_idx = jnp.where(final_valid, final_idx, 0)
+    return all_boxes[final_idx], jnp.where(final_valid, final_scores, 0.0), final_valid
+
+
+def label_anchors(
+    anchors: Array,  # (R, 4) all levels concatenated
+    gt_boxes: Array,  # (G, 4)
+    gt_valid: Array,  # (G,)
+    iou_thresholds: Tuple[float, float] = (0.3, 0.7),
+) -> Tuple[Array, Array]:
+    """Per-anchor fg/bg/ignore labels + matched gt boxes
+    (reference ``rpn_outputs.py:203`` _get_ground_truth)."""
+    iou = pairwise_iou(gt_boxes, anchors)  # (G, R)
+    matched_idx, labels = match(
+        iou, gt_valid, list(iou_thresholds), [0, -1, 1], allow_low_quality_matches=True
+    )
+    matched_gt = gt_boxes[matched_idx]  # (R, 4)
+    return labels.astype(jnp.int32), matched_gt
+
+
+def rpn_losses(
+    logits: Sequence[Array],  # per level (HWA,) — single image
+    deltas: Sequence[Array],  # per level (HWA, 4)
+    anchors: Sequence[Array],
+    gt_boxes: Array,
+    gt_valid: Array,
+    key: jax.Array,
+    cfg: RPNConfig,
+) -> Dict[str, Array]:
+    """Single-image RPN losses; normalization by batch_size_per_image happens
+    here, the 1/num_images factor is applied by the caller's mean."""
+    cat_logits = jnp.concatenate(logits, axis=0)
+    cat_deltas = jnp.concatenate(deltas, axis=0)
+    cat_anchors = jnp.concatenate(anchors, axis=0)
+
+    labels, matched_gt = label_anchors(cat_anchors, gt_boxes, gt_valid, cfg.iou_thresholds)
+    # images with no valid gt: all anchors become background (matcher handles),
+    # positives only exist when gt exists.
+    labels = subsample_labels(labels, cfg.batch_size_per_image, cfg.positive_fraction, key)
+
+    pos = labels == 1
+    sampled = labels >= 0
+    normalizer = float(cfg.batch_size_per_image)
+
+    # objectness: BCE with logits over sampled anchors
+    obj_targets = pos.astype(jnp.float32)
+    per_anchor = jnp.maximum(cat_logits, 0) - cat_logits * obj_targets + jnp.log1p(
+        jnp.exp(-jnp.abs(cat_logits))
+    )
+    loss_cls = jnp.sum(jnp.where(sampled, per_anchor, 0.0)) / normalizer
+
+    # localization: smooth-l1 (beta=0 -> pure L1) on positives
+    gt_deltas = get_deltas(cat_anchors, matched_gt)
+    diff = cat_deltas - gt_deltas
+    if cfg.smooth_l1_beta > 0:
+        ad = jnp.abs(diff)
+        per_coord = jnp.where(
+            ad < cfg.smooth_l1_beta,
+            0.5 * diff * diff / cfg.smooth_l1_beta,
+            ad - 0.5 * cfg.smooth_l1_beta,
+        )
+    else:
+        per_coord = jnp.abs(diff)
+    loss_loc = jnp.sum(jnp.where(pos[:, None], per_coord, 0.0)) / normalizer
+
+    return {
+        "loss_rpn_cls": loss_cls * cfg.loss_weight,
+        "loss_rpn_loc": loss_loc * cfg.loss_weight,
+    }
