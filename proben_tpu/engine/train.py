@@ -1,0 +1,94 @@
+"""Training step: functional replacement of ``SimpleTrainer.run_step``
+(reference ``engine/train_loop.py:200-234``).
+
+One jitted SPMD step: loss-dict forward, grad, optimizer update. Under a data
+mesh with a sharded batch, the grad all-reduce is implicit (DDP equivalent).
+The NaN guard of ``_detect_anomaly``/``rpn.py:174-176`` becomes a returned
+``loss_finite`` flag the host loop can check without blocking the step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.rcnn import ModelConfig, rcnn_train_losses
+from ..solver.build import SolverConfig, build_optimizer
+from ..structures.detections import GroundTruth
+
+Array = jnp.ndarray
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: dict
+    opt_state: dict
+    step: Array  # () int32
+    key: jax.Array
+
+
+def make_train_step(
+    model_cfg: ModelConfig,
+    solver_cfg: SolverConfig,
+    trainable_mask=None,
+) -> Tuple[Callable, Callable]:
+    """Returns (init_state, train_step).
+
+    train_step(state, batch) -> (state, metrics) where batch is a dict with
+    ``image`` (N, H, W, C), ``image_size`` (N, 2), ``gt`` (GroundTruth,
+    leading axis N). Both functions are jit/pjit friendly.
+    """
+
+    def init_state(params, key) -> TrainState:
+        tx = build_optimizer(solver_cfg, params, trainable_mask)
+        return TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            key=key,
+        )
+
+    tx = None  # built lazily against params structure inside step
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, Array]]:
+        step_key = jax.random.fold_in(state.key, state.step)
+
+        def loss_fn(params):
+            losses = rcnn_train_losses(
+                params,
+                model_cfg,
+                batch["image"],
+                batch["image_size"],
+                batch["gt"],
+                step_key,
+            )
+            total = sum(losses.values())
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        opt = build_optimizer(solver_cfg, state.params, trainable_mask)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        finite = jnp.isfinite(total)
+        # NaN guard: keep old params if the loss is non-finite
+        params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), params, state.params
+        )
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["loss_finite"] = finite.astype(jnp.float32)
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            key=state.key,
+        )
+        return new_state, metrics
+
+    return init_state, train_step

@@ -139,8 +139,9 @@ def preprocess(cfg: ModelConfig, images: Array) -> Array:
     pixel_std[:3].
     """
     if cfg.input_format == "BGRTTT":
-        mean_rgb = jnp.asarray(cfg.pixel_mean[:3], jnp.float32)
-        mean_t = jnp.asarray(cfg.pixel_mean[3:6], jnp.float32)
+        mean = list(cfg.pixel_mean) + [cfg.pixel_mean[-1]] * (6 - len(cfg.pixel_mean))
+        mean_rgb = jnp.asarray(mean[:3], jnp.float32)
+        mean_t = jnp.asarray(mean[3:6], jnp.float32)
         std = jnp.asarray(cfg.pixel_std[:3], jnp.float32)
         rgb = (images[..., :3] - mean_rgb) / std
         thermal = (images[..., 3:] - mean_t) / std
