@@ -1,3 +1,4 @@
+from .predictor import Predictor
 from .train import TrainState, make_train_step
 
-__all__ = ["TrainState", "make_train_step"]
+__all__ = ["Predictor", "TrainState", "make_train_step"]
