@@ -1,4 +1,24 @@
+from .defaults import DefaultTrainer
+from .hooks import (
+    CallbackHook,
+    EvalHook,
+    HookBase,
+    IterationTimer,
+    PeriodicCheckpointer,
+    PeriodicWriter,
+)
 from .predictor import Predictor
 from .train import TrainState, make_train_step
 
-__all__ = ["Predictor", "TrainState", "make_train_step"]
+__all__ = [
+    "DefaultTrainer",
+    "CallbackHook",
+    "EvalHook",
+    "HookBase",
+    "IterationTimer",
+    "PeriodicCheckpointer",
+    "PeriodicWriter",
+    "Predictor",
+    "TrainState",
+    "make_train_step",
+]

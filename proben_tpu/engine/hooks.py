@@ -1,0 +1,133 @@
+"""Hook system (reference ``engine/train_loop.py:16`` HookBase +
+``engine/hooks.py``): before/after train/step callbacks around the trainer."""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, List, Optional
+
+from ..utils.events import EventStorage
+
+logger = logging.getLogger(__name__)
+
+
+class HookBase:
+    trainer = None  # set by the trainer
+
+    def before_train(self):
+        pass
+
+    def after_train(self):
+        pass
+
+    def before_step(self):
+        pass
+
+    def after_step(self):
+        pass
+
+
+class CallbackHook(HookBase):
+    def __init__(self, *, before_train=None, after_train=None, before_step=None, after_step=None):
+        self._bt, self._at, self._bs, self._as = before_train, after_train, before_step, after_step
+
+    def before_train(self):
+        if self._bt:
+            self._bt(self.trainer)
+
+    def after_train(self):
+        if self._at:
+            self._at(self.trainer)
+
+    def before_step(self):
+        if self._bs:
+            self._bs(self.trainer)
+
+    def after_step(self):
+        if self._as:
+            self._as(self.trainer)
+
+
+class IterationTimer(HookBase):
+    """Per-step wall time into the storage (reference ``hooks.py:75``)."""
+
+    def before_step(self):
+        self._start = time.perf_counter()
+
+    def after_step(self):
+        self.trainer.storage.put_scalar("time", time.perf_counter() - self._start)
+
+
+class PeriodicWriter(HookBase):
+    def __init__(self, writers: List, period: int = 20):
+        self._writers = writers
+        self._period = period
+
+    def after_step(self):
+        it = self.trainer.iter
+        if (it + 1) % self._period == 0 or it == self.trainer.max_iter - 1:
+            for w in self._writers:
+                w.write(self.trainer.storage)
+
+    def after_train(self):
+        for w in self._writers:
+            w.close()
+
+
+class PeriodicCheckpointer(HookBase):
+    def __init__(self, period: int):
+        self._period = period
+
+    def after_step(self):
+        it = self.trainer.iter
+        if (it + 1) % self._period == 0 or it == self.trainer.max_iter - 1:
+            self.trainer.save_checkpoint()
+
+
+class EvalHook(HookBase):
+    """Run eval_fn(trainer) every ``period`` iters + at the end
+    (reference ``hooks.py:301``). eval_fn may return a metric dict."""
+
+    def __init__(self, period: int, eval_fn: Callable):
+        self._period = period
+        self._fn = eval_fn
+
+    def _do(self):
+        results = self._fn(self.trainer)
+        if isinstance(results, dict):
+            flat = {}
+
+            def flatten(d, prefix=""):
+                for k, v in d.items():
+                    if isinstance(v, dict):
+                        flatten(v, prefix + k + "/")
+                    else:
+                        try:
+                            flat[prefix + k] = float(v)
+                        except (TypeError, ValueError):
+                            pass
+
+            flatten(results)
+            for k, v in flat.items():
+                if v == v:  # skip NaN
+                    self.trainer.storage.put_scalar(k, v)
+
+    def after_step(self):
+        it = self.trainer.iter
+        if self._period > 0 and (it + 1) % self._period == 0 and it != self.trainer.max_iter - 1:
+            self._do()
+
+    def after_train(self):
+        self._do()
+
+
+class LRLogger(HookBase):
+    """Log the scheduled lr (the reference LRScheduler hook steps the torch
+    scheduler; ours is functional, so this only records)."""
+
+    def __init__(self, schedule):
+        self._schedule = schedule
+
+    def after_step(self):
+        self.trainer.storage.put_scalar("lr", float(self._schedule(self.trainer.iter)))
