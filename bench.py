@@ -35,13 +35,17 @@ def main():
         jnp.asarray(rng.rand(batch, 800, 1024, 3).astype(np.float32) * 255)
         for _ in range(4)
     ]
-    # compile + warmup (sync via host transfer)
+    # compile + warmup (sync via host transfer — block_until_ready does not
+    # fence on the axon backend)
     np.asarray(fn(params, imgs[0], sizes).scores)
 
-    iters = 8
+    # pipelined throughput: dispatch all batches, fetch at the end (the
+    # tunnel's ~33 ms RTT otherwise dominates; see docs/PERF.md)
+    iters = 16
     t0 = time.time()
-    for i in range(iters):
-        np.asarray(fn(params, imgs[i % len(imgs)], sizes).scores)
+    outs = [fn(params, imgs[i % len(imgs)], sizes) for i in range(iters)]
+    for o in outs:
+        np.asarray(o.scores)
     dt = time.time() - t0
     img_s = batch * iters / dt
 

@@ -73,7 +73,6 @@ def _bilinear_gather(
     x0i = x0.astype(jnp.int32)
     # high index clamped like the CUDA kernel (y_low >= H-1 -> y_high=y_low, ly=0)
     y1i = jnp.minimum(y0i + 1, height[:, None] - 1)
-    x1i = jnp.minimum(x0i + 1, width[:, None] - 1)
     ly = jnp.where(y0i + 1 > height[:, None] - 1, 0.0, ly)
     lx = jnp.where(x0i + 1 > width[:, None] - 1, 0.0, lx)
     hy, hx = 1.0 - ly, 1.0 - lx
@@ -82,17 +81,49 @@ def _bilinear_gather(
     off = base_offset[:, None, None]
 
     c = flat_features.shape[-1]
-    out = jnp.zeros((y.shape[0], y.shape[1], x.shape[1], c), flat_features.dtype)
-    # 4 corners: (y0,x0) (y0,x1) (y1,x0) (y1,x1); accumulate to bound live memory
+    l = flat_features.shape[0]
+    k, ny, nx = y.shape[0], y.shape[1], x.shape[1]
+
+    # In the W-major flattened layout the two x-corners of a sample are
+    # ADJACENT rows, so one (2, C) strided gather fetches both — half the
+    # gather traffic of 4 single-row fetches (this is the hottest op of the
+    # whole detector; see the repo's profiling notes). The x0+1 row may stray
+    # across a border only when its weight lx was already forced to 0.
+    # one zero pad row so a pair starting at the last real row stays in
+    # bounds without shifting the slice (clipping would corrupt the first
+    # element's value)
+    padded = jnp.concatenate(
+        [flat_features, jnp.zeros((1, c), flat_features.dtype)], axis=0
+    )
+
+    def gather_pairs(row_start):  # (K, Ny, Nx) int32 -> (K, Ny, Nx, 2, C)
+        starts = jnp.clip(row_start.reshape(-1, 1), 0, l - 1)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2),
+            collapsed_slice_dims=(),
+            start_index_map=(0,),
+        )
+        out = jax.lax.gather(
+            padded,
+            starts,
+            dn,
+            slice_sizes=(2, c),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+        return out.reshape(k, ny, nx, 2, c)
+
+    wx_pair_hi = hx[:, None, :]  # weight of x0 column
+    wx_pair_lo = lx[:, None, :]  # weight of x0+1 column
+
+    out = jnp.zeros((k, ny, nx, c), flat_features.dtype)
     for yi, wy in ((y0i, hy), (y1i, ly)):
-        for xi, wx in ((x0i, hx), (x1i, lx)):
-            idx = off + yi[:, :, None] * w + xi[:, None, :]  # (K, Ny, Nx)
-            vals = jnp.take(flat_features, idx.reshape(-1), axis=0).reshape(
-                idx.shape + (c,)
-            )
-            out = out + vals * (wy[:, :, None] * wx[:, None, :])[..., None].astype(
-                flat_features.dtype
-            )
+        rows = off + yi[:, :, None] * w + x0i[:, None, :]
+        pair = gather_pairs(rows)
+        mixed = (
+            pair[..., 0, :] * wx_pair_hi[..., None].astype(flat_features.dtype)
+            + pair[..., 1, :] * wx_pair_lo[..., None].astype(flat_features.dtype)
+        )
+        out = out + mixed * wy[:, :, None, None].astype(flat_features.dtype)
 
     valid = (valid_y[:, :, None] & valid_x[:, None, :])[..., None]
     return jnp.where(valid, out, 0.0)
