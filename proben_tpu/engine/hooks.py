@@ -122,6 +122,31 @@ class EvalHook(HookBase):
         self._do()
 
 
+class ProfilerHook(HookBase):
+    """Trace chosen iterations with jax.profiler and dump a Perfetto trace to
+    OUTPUT_DIR (reference ``hooks.py:235`` AutogradProfiler -> chrome trace)."""
+
+    def __init__(self, enter_predicate, output_dir: str):
+        self._pred = enter_predicate
+        self._dir = output_dir
+        self._active = False
+
+    def before_step(self):
+        import jax
+
+        if self._pred(self.trainer):
+            jax.profiler.start_trace(self._dir)
+            self._active = True
+
+    def after_step(self):
+        import jax
+
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            logger.info("profiler trace written to %s", self._dir)
+
+
 class LRLogger(HookBase):
     """Log the scheduled lr (the reference LRScheduler hook steps the torch
     scheduler; ours is functional, so this only records)."""
