@@ -23,6 +23,7 @@ _DEFAULTS = {
         "MAX_POOL_RGB": False,
         # TPU-specific: compute precision for the conv path
         "COMPUTE_DTYPE": "float32",
+        "ROI_ALIGN_IMPL": "pallas",  # pallas | gather (see ops/roi_align_pallas.py)
         "MIDDLE_FUSION_INFERENCE_SHARES_BACKBONE": False,
         "BACKBONE": {"NAME": "build_resnet_fpn_backbone", "FREEZE_AT": 2},
         "RESNETS": {
@@ -155,6 +156,7 @@ def model_config_from_cfg(cfg: CfgNode):
         fpn_channels=m.FPN.OUT_CHANNELS,
         enable_gaussian_nll=m.ROI_HEADS.ENABLE_GAUSSIANNLLOSS,
         compute_dtype=m.COMPUTE_DTYPE,
+        roi_align_impl=m.ROI_ALIGN_IMPL,
         middle_fusion_inference_shares_backbone=m.MIDDLE_FUSION_INFERENCE_SHARES_BACKBONE,
         rpn=RPNConfig(
             pre_nms_topk_train=m.RPN.PRE_NMS_TOPK_TRAIN,

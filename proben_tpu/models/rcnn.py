@@ -63,6 +63,10 @@ class ModelConfig:
     fpn_channels: int = 256
     enable_gaussian_nll: bool = False
     compute_dtype: str = "float32"  # "bfloat16" for MXU speed
+    # "pallas" (default: windowed-DMA kernel, ~1.6x end-to-end inference;
+    # clamps samples of pathological >3-aspect-ratio boxes) or "gather"
+    # (pure-XLA, exact for every box) — see ops/roi_align_pallas.py
+    roi_align_impl: str = "pallas"
     middle_fusion_inference_shares_backbone: bool = False
     rpn: RPNConfig = dataclasses.field(default_factory=RPNConfig)
     roi: ROIHeadsConfig = dataclasses.field(default_factory=ROIHeadsConfig)
@@ -203,8 +207,8 @@ def rcnn_inference(
     logits, deltas = apply_rpn_head(params["rpn_head"], rpn_feats, dtype=cfg.dtype)
     anchors = _anchors_for(features)
 
-    def per_image(logits_i, deltas_i, size_i, feats_i):
-        boxes, scores, valid = find_top_proposals(
+    def propose(logits_i, deltas_i, size_i):
+        return find_top_proposals(
             logits_i,
             deltas_i,
             anchors,
@@ -214,6 +218,32 @@ def rcnn_inference(
             cfg.rpn.nms_thresh,
             cfg.rpn.min_box_side_len,
         )
+
+    roi_feats = [features[f] for f in ROI_IN_FEATURES]
+
+    if cfg.roi_align_impl == "pallas":
+        from ..ops.roi_align_pallas import multilevel_roi_align_pallas
+        from .roi_heads import roi_heads_predict_from_pooled
+
+        boxes, scores, valid = jax.vmap(propose)(logits, deltas, image_sizes)
+        pooled = multilevel_roi_align_pallas(
+            roi_feats,
+            boxes,
+            cfg.roi.in_strides,
+            cfg.roi.pooler_resolution,
+            cfg.roi.pooler_sampling_ratio,
+        )
+
+        def predict(pooled_i, boxes_i, valid_i, size_i):
+            return roi_heads_predict_from_pooled(
+                params["roi"], pooled_i, boxes_i, valid_i,
+                (size_i[0], size_i[1]), cfg.rcnn, dtype=cfg.dtype,
+            )
+
+        return jax.vmap(predict)(pooled, boxes, valid, image_sizes)
+
+    def per_image(logits_i, deltas_i, size_i, feats_i):
+        boxes, scores, valid = propose(logits_i, deltas_i, size_i)
         return roi_heads_forward_inference(
             params["roi"],
             feats_i,
@@ -225,7 +255,6 @@ def rcnn_inference(
             dtype=cfg.dtype,
         )
 
-    roi_feats = [features[f] for f in ROI_IN_FEATURES]
     return jax.vmap(per_image)(logits, deltas, image_sizes, roi_feats)
 
 

@@ -133,6 +133,22 @@ def roi_heads_forward_train(
     )
 
 
+def roi_heads_predict_from_pooled(
+    params: Dict,
+    pooled: Array,  # (K, P, P, C) pooled features (any pooling impl)
+    proposal_boxes: Array,
+    proposal_valid: Array,
+    image_size,
+    rcnn_cfg: FastRCNNConfig,
+    dtype=None,
+) -> Detections:
+    x = apply_box_head(params["box_head"], pooled, dtype=dtype)
+    logits, deltas, variance = apply_output_layers(params["output"], x)
+    return fast_rcnn_inference_single_image(
+        logits, deltas, proposal_boxes, proposal_valid, image_size, rcnn_cfg, variance
+    )
+
+
 def roi_heads_forward_inference(
     params: Dict,
     features: Sequence[Array],
@@ -144,8 +160,6 @@ def roi_heads_forward_inference(
     dtype=None,
 ) -> Detections:
     pooled = pool_box_features(features, proposal_boxes, roi_cfg)
-    x = apply_box_head(params["box_head"], pooled, dtype=dtype)
-    logits, deltas, variance = apply_output_layers(params["output"], x)
-    return fast_rcnn_inference_single_image(
-        logits, deltas, proposal_boxes, proposal_valid, image_size, rcnn_cfg, variance
+    return roi_heads_predict_from_pooled(
+        params, pooled, proposal_boxes, proposal_valid, image_size, rcnn_cfg, dtype
     )

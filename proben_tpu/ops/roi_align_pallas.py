@@ -1,0 +1,264 @@
+"""Pallas TPU kernel for multi-level RoIAlign.
+
+Why: the pure-XLA gather formulation (ops/roi_align.py) is the hottest op of
+the whole detector — profiling shows the corner gathers at ~30 ms/batch
+(docs/PERF.md), running far below HBM bandwidth because row-gathers hit the
+slow scalar-index path with (8, 128)-tile overfetch. This kernel restructures
+the op around sequential DMA + MXU:
+
+  per RoI: DMA one static (WIN, WIN, C) window of its FPN level into VMEM,
+  then interpolate all P*P*S*S samples with two small separable matmuls
+    t1[j, x, c]  = sum_y Wy[j, y]  * win[y, x, c]      (y-interpolation)
+    out[a, j, c] = sum_x Wx[a, x]  * t1[j, x, c]       (x-interpolation)
+  and average the SxS samples per bin.
+
+The interpolation weight matrices (K, S*P, WIN) are built host-side in
+vectorized jnp, reusing the exact ROIAlignV2 border semantics (outside-zero,
+border clamp) — the kernel itself stays trivial and correctness-critical
+logic stays in tested python.
+
+Window coverage: 48x(56-aligned) feature px covers every box the FPN level assignment
+can produce at <=1333 px inputs with aspect ratio <= 2 (long side <= 28*sqrt2
+~ 40 at its level; level-5-clamped boxes <= 1333/32 ~ 42). Pathologically
+elongated regression outputs whose sample span exceeds the window have their
+samples clamped into it (documented approximation; such boxes are garbage
+predictions in practice).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .roi_align import roi_level_assignment
+
+Array = jnp.ndarray
+
+# static feature-space window: 48 rows x 56 cols. The x (W) dimension is the
+# sublane-tiled dim of the HBM layout, so its DMA offset must be 8-aligned —
+# the origin is aligned down to 16 (the bf16 sublane tile; losing up to 15 px)
+# and the window widened to 64.
+WIN_Y = 56
+WIN_X = 64
+
+
+def _interp_weights(
+    coords: Array,  # (K, S) sample coords in feature space (absolute)
+    win_start: Array,  # (K,) int32 window origin
+    dim_size: Array,  # (K,) level H or W per RoI
+    win: int,
+) -> Array:
+    """(K, S, win) bilinear row weights with ROIAlignV2 border semantics."""
+    k, s = coords.shape
+    valid = (coords >= -1.0) & (coords <= dim_size[:, None].astype(coords.dtype))
+    c = jnp.clip(coords, 0.0, dim_size[:, None].astype(coords.dtype) - 1.0)
+    c0 = jnp.floor(c)
+    frac = c - c0
+    # border clamp: hi index out of range -> weight moves to lo
+    hi_oob = c0 + 1 > dim_size[:, None].astype(coords.dtype) - 1
+    frac = jnp.where(hi_oob, 0.0, frac)
+    lo = c0.astype(jnp.int32) - win_start[:, None]  # window-relative
+    lo = jnp.clip(lo, 0, win - 1)
+    hi = jnp.clip(lo + 1, 0, win - 1)
+    cols = jnp.arange(win, dtype=jnp.int32)
+    w_lo = (cols[None, None, :] == lo[:, :, None]) * (1.0 - frac)[:, :, None]
+    w_hi = (cols[None, None, :] == hi[:, :, None]) * frac[:, :, None]
+    w = (w_lo + w_hi) * valid[:, :, None]
+    return w.astype(jnp.float32)
+
+
+def _kernel(
+    # scalar prefetch
+    img_ref,  # (N,) image index per roi
+    lvl_ref,  # (N,) level index per roi
+    y0_ref,  # (N,) window origin rows
+    x0_ref,  # (N,) window origin cols
+    # inputs
+    wy_ref,  # (1, SP, WIN) y weights for this roi
+    wx_ref,  # (1, SP, WIN) x weights
+    f0_ref, f1_ref, f2_ref, f3_ref,  # level features (B, H_l, W_l, C) in ANY
+    # output
+    out_ref,  # (1, SP, SP, C)
+    # scratch
+    win_ref,  # (WIN, WIN*C) VMEM — window rows flattened
+    sem,
+):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    c = out_ref.shape[-1]
+    sp = out_ref.shape[1]
+
+    def start_dma(roi, slot):
+        """Kick off the window DMA for RoI ``roi`` into buffer ``slot``."""
+        img = img_ref[roi]
+        lvl = lvl_ref[roi]
+        y0 = y0_ref[roi]
+        x0 = pl.multiple_of(x0_ref[roi], 16)  # host guarantees 16-aligned
+
+        def go(fref):
+            pltpu.make_async_copy(
+                fref.at[img, pl.ds(y0, WIN_Y), pl.ds(x0, WIN_X), :],
+                win_ref.at[slot],
+                sem.at[slot],
+            ).start()
+
+        @pl.when(lvl == 0)
+        def _():
+            go(f0_ref)
+
+        @pl.when(lvl == 1)
+        def _():
+            go(f1_ref)
+
+        @pl.when(lvl == 2)
+        def _():
+            go(f2_ref)
+
+        @pl.when(lvl == 3)
+        def _():
+            go(f3_ref)
+
+    # 4-deep DMA pipeline: warm up 4 windows on the first step, then keep
+    # prefetching i+4 while computing i
+    NSLOT = 4
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(NSLOT):
+
+            @pl.when(j < n)
+            def _():
+                start_dma(j, j)
+
+    @pl.when((i > 0) & (i + NSLOT - 1 < n))
+    def _():
+        start_dma(i + NSLOT - 1, (i + NSLOT - 1) % NSLOT)
+
+    slot = i % NSLOT
+    pltpu.make_async_copy(win_ref.at[slot], win_ref.at[slot], sem.at[slot]).wait()
+
+    window = win_ref[slot].reshape(WIN_Y, WIN_X * c)  # (WIN_Y, WIN_X*C)
+    wy = wy_ref[0]  # (SP, WIN)
+    wx = wx_ref[0]  # (SP, WIN)
+
+    # y-pass: (SP, WIN) @ (WIN, WIN*C) -> (SP, WIN*C); f32 accumulation
+    t1 = jnp.dot(
+        wy.astype(window.dtype), window, preferred_element_type=jnp.float32
+    ).reshape(sp, WIN_X, c)
+    # x-pass: contract WIN: (SP, WIN) x (SP, WIN, C) -> (SP_x, SP_y, C)
+    t2 = jax.lax.dot_general(
+        wx,
+        t1,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (SPx, SPy, C)
+    out_ref[0] = jnp.transpose(t2, (1, 0, 2)).astype(out_ref.dtype)  # (SPy, SPx, C)
+
+
+def multilevel_roi_align_pallas(
+    features: Sequence[Array],  # per level (B, H_l, W_l, C)
+    boxes: Array,  # (B, K, 4) XYXY image coords
+    strides: Sequence[int],
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    min_level: int = 2,
+    canonical_box_size: float = 224.0,
+    canonical_level: int = 4,
+    interpret: bool = None,
+) -> Array:
+    """Batched multi-level RoIAlignV2. Returns (B, K, P, P, C)."""
+    if interpret is None:
+        # compiled Mosaic kernels need a TPU; tests on the CPU mesh interpret
+        interpret = jax.default_backend() != "tpu"
+    assert len(features) == 4, "kernel is specialized to 4 FPN levels"
+    b, k, _ = boxes.shape
+    c = features[0].shape[-1]
+    p, s = output_size, sampling_ratio
+    sp = p * s
+    n = b * k
+
+    # pad small levels so the window always fits (W stays a multiple of 16)
+    feats = []
+    for f in features:
+        pad_h = max(0, WIN_Y - f.shape[1])
+        target_w = max(f.shape[2], WIN_X)
+        target_w = ((target_w + 15) // 16) * 16  # keep right-edge origins aligned
+        pad_w = target_w - f.shape[2]
+        if pad_h or pad_w:
+            f = jnp.pad(f, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        feats.append(f)
+    pad_ws = jnp.array([f.shape[2] for f in feats], jnp.int32)
+    pad_hs = jnp.array([f.shape[1] for f in feats], jnp.int32)
+
+    heights = jnp.array([f.shape[1] for f in features], jnp.int32)
+    widths = jnp.array([f.shape[2] for f in features], jnp.int32)
+    inv_strides = jnp.array([1.0 / st for st in strides], jnp.float32)
+
+    flat_boxes = boxes.reshape(n, 4)
+    levels = roi_level_assignment(
+        flat_boxes, min_level, min_level + 3, canonical_box_size, canonical_level
+    )
+    lvl_idx = levels - min_level
+    h_l = heights[lvl_idx]
+    w_l = widths[lvl_idx]
+    scale = inv_strides[lvl_idx]
+
+    x1 = flat_boxes[:, 0] * scale - 0.5
+    y1 = flat_boxes[:, 1] * scale - 0.5
+    bin_w = (flat_boxes[:, 2] * scale - 0.5 - x1) / p
+    bin_h = (flat_boxes[:, 3] * scale - 0.5 - y1) / p
+    grid = (
+        jnp.arange(p, dtype=jnp.float32)[:, None]
+        + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s
+    ).reshape(-1)
+    ys = y1[:, None] + grid[None, :] * bin_h[:, None]  # (N, SP)
+    xs = x1[:, None] + grid[None, :] * bin_w[:, None]
+
+    # window origin: cover the clamped sample span; x aligned to 8 for DMA
+    def origin(coords, dim, pad_dim, win, align=1):
+        first = jnp.clip(coords[:, 0], 0.0, dim.astype(jnp.float32) - 1.0)
+        start = jnp.floor(first).astype(jnp.int32)
+        start = (start // align) * align
+        return jnp.clip(start, 0, pad_dim - win)
+
+    y0w = origin(ys, h_l, pad_hs[lvl_idx], WIN_Y)
+    x0w = origin(xs, w_l, pad_ws[lvl_idx], WIN_X, align=16)
+
+    wy = _interp_weights(ys, y0w, h_l, WIN_Y)  # (N, SP, WIN_Y)
+    wx = _interp_weights(xs, x0w, w_l, WIN_X)
+
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, sp, WIN_Y), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, sp, WIN_X), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, sp, sp, c), lambda i, *_: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((4, WIN_Y, WIN_X, c), feats[0].dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    samples = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, sp, sp, c), features[0].dtype),
+        interpret=interpret,
+    )(img_idx, lvl_idx, y0w, x0w, wy, wx, *feats)
+
+    out = samples.reshape(b, k, p, s, p, s, c).mean(axis=(3, 5))
+    return out
