@@ -75,10 +75,21 @@ def make_train_step(
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
-        finite = jnp.isfinite(total)
-        # NaN guard: keep old params if the loss is non-finite
+        grads_finite = jnp.all(
+            jnp.asarray(
+                [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
+            )
+        )
+        finite = jnp.isfinite(total) & grads_finite
+        # NaN guard: keep old params AND momentum if loss/grads are non-finite
         params = jax.tree_util.tree_map(
             lambda new, old: jnp.where(finite, new, old), params, state.params
+        )
+        opt_state = dict(opt_state)
+        opt_state["momentum"] = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            opt_state["momentum"],
+            state.opt_state["momentum"],
         )
         metrics = dict(losses)
         metrics["total_loss"] = total

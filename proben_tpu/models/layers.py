@@ -111,16 +111,16 @@ def conv2d(
         w = w.astype(dtype)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    # NOTE: no preferred_element_type here — the MXU accumulates in f32
+    # internally for bf16 convs, and an explicit f32 preference breaks the
+    # conv VJP with mixed-dtype operands under bf16 training.
     out = jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32 if dtype == jnp.bfloat16 else None,
     )
-    if dtype is not None:
-        out = out.astype(dtype)
     if "b" in params:
         out = out + params["b"].astype(out.dtype)
     return out[0] if squeeze else out

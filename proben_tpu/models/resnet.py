@@ -67,7 +67,13 @@ def init_resnet(
                 "conv2": init_conv(k2, 3, 3, width, width, bias=False),
                 "norm2": init_affine(width),
                 "conv3": init_conv(k3, 1, 1, width, out_ch, bias=False),
-                "norm3": init_affine(out_ch),
+                # zero-gamma: residual branches start as identity so random-init
+                # training is stable without live BN statistics (checkpoints
+                # overwrite this; the reference always trains from pretrained)
+                "norm3": {
+                    "scale": jnp.zeros((out_ch,), jnp.float32),
+                    "bias": jnp.zeros((out_ch,), jnp.float32),
+                },
             }
             if b == 0:
                 block["shortcut"] = init_conv(k4, 1, 1, in_ch, out_ch, bias=False)

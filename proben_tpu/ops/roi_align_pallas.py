@@ -39,6 +39,10 @@ from .roi_align import roi_level_assignment
 
 Array = jnp.ndarray
 
+
+def feats_dtype_size(dtype) -> int:
+    return jnp.dtype(dtype).itemsize
+
 # static feature-space window: 48 rows x 56 cols. The x (W) dimension is the
 # sublane-tiled dim of the HBM layout, so its DMA offset must be 8-aligned —
 # the origin is aligned down to 16 (the bf16 sublane tile; losing up to 15 px)
@@ -73,6 +77,7 @@ def _interp_weights(
 
 
 def _kernel(
+    nslot,
     # scalar prefetch
     img_ref,  # (N,) image index per roi
     lvl_ref,  # (N,) level index per roi
@@ -124,9 +129,9 @@ def _kernel(
         def _():
             go(f3_ref)
 
-    # 4-deep DMA pipeline: warm up 4 windows on the first step, then keep
-    # prefetching i+4 while computing i
-    NSLOT = 4
+    # nslot-deep DMA pipeline: warm up on the first step, then keep
+    # prefetching i+nslot-1 while computing i
+    NSLOT = nslot
 
     @pl.when(i == 0)
     def _():
@@ -173,6 +178,8 @@ def multilevel_roi_align_pallas(
     interpret: bool = None,
 ) -> Array:
     """Batched multi-level RoIAlignV2. Returns (B, K, P, P, C)."""
+    # pipeline depth bounded by VMEM: bf16 windows allow 4 slots, f32 only 2
+    nslot = 4 if feats_dtype_size(features[0].dtype) <= 2 else 2
     if interpret is None:
         # compiled Mosaic kernels need a TPU; tests on the CPU mesh interpret
         interpret = jax.default_backend() != "tpu"
@@ -248,13 +255,13 @@ def multilevel_roi_align_pallas(
         ],
         out_specs=pl.BlockSpec((1, sp, sp, c), lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((4, WIN_Y, WIN_X, c), feats[0].dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((nslot, WIN_Y, WIN_X, c), feats[0].dtype),
+            pltpu.SemaphoreType.DMA((nslot,)),
         ],
     )
 
     samples = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, nslot),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, sp, sp, c), features[0].dtype),
         interpret=interpret,
