@@ -126,8 +126,10 @@ def test_train_grads_flow_and_freeze():
     grads = jax.grad(total_loss)(params)
     # frozen (freeze_at=2): stem + res2 get zero grads via stop_gradient
     stem_g = np.abs(np.asarray(grads["backbone"]["stem"]["conv1"]["w"])).max()
-    res2_g = np.abs(np.asarray(grads["backbone"]["res2"][0]["conv1"]["w"])).max()
-    res4_g = np.abs(np.asarray(grads["backbone"]["res4"][0]["conv1"]["w"])).max()
+    res2_g = np.abs(np.asarray(grads["backbone"]["res2"][0]["norm3"]["scale"])).max()
+    # zero-gamma init: in-block conv grads are zero at step 0 (branch output
+    # is scaled by 0), but the gamma itself gets gradient — check that leaf
+    res4_g = np.abs(np.asarray(grads["backbone"]["res4"][0]["norm3"]["scale"])).max()
     rpn_g = np.abs(np.asarray(grads["rpn_head"]["conv"]["w"])).max()
     cls_g = np.abs(np.asarray(grads["roi"]["output"]["cls_score"]["w"])).max()
     assert stem_g == 0 and res2_g == 0
