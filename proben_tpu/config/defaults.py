@@ -94,7 +94,7 @@ _DEFAULTS = {
         "MIN_SIZE_TEST": 800,
         "MAX_SIZE_TEST": 1333,
         "RANDOM_FLIP": True,
-        "CROP": {"ENABLED": False},
+        "CROP": {"ENABLED": False, "TYPE": "relative_range", "SIZE": [0.9, 0.9]},
         # TPU-specific static padded canvas (H, W); all batches pad to this
         "PAD_SHAPE": (800, 1344),
         "MAX_GT": 100,
@@ -156,6 +156,8 @@ def model_config_from_cfg(cfg: CfgNode):
         fpn_channels=m.FPN.OUT_CHANNELS,
         enable_gaussian_nll=m.ROI_HEADS.ENABLE_GAUSSIANNLLOSS,
         compute_dtype=m.COMPUTE_DTYPE,
+        blur_rgb=m.BLUR_RGB,
+        max_pool_rgb=m.MAX_POOL_RGB,
         roi_align_impl=m.ROI_ALIGN_IMPL,
         middle_fusion_inference_shares_backbone=m.MIDDLE_FUSION_INFERENCE_SHARES_BACKBONE,
         rpn=RPNConfig(
@@ -206,6 +208,7 @@ def mapper_config_from_cfg(cfg: CfgNode):
         min_size_test=cfg.INPUT.MIN_SIZE_TEST,
         max_size_test=cfg.INPUT.MAX_SIZE_TEST,
         flip=cfg.INPUT.RANDOM_FLIP,
+        crop=tuple(cfg.INPUT.CROP.SIZE) if cfg.INPUT.CROP.ENABLED else None,
     )
 
 

@@ -29,6 +29,7 @@ class MapperConfig:
     min_size_test: int = 800
     max_size_test: int = 1333
     flip: bool = True
+    crop: Optional[Tuple[float, float]] = None  # relative_range crop
 
     @property
     def num_channels(self) -> int:
@@ -41,7 +42,7 @@ class DatasetMapper:
         self.is_train = is_train
         rng = np.random.RandomState(seed)
         self.train_aug = TrainAugment(
-            cfg.min_size_train, cfg.max_size_train, cfg.flip, rng
+            cfg.min_size_train, cfg.max_size_train, cfg.flip, rng, crop=cfg.crop
         )
         self.test_resize = TestResize(cfg.min_size_test, cfg.max_size_test)
 

@@ -58,8 +58,26 @@ def hflip_boxes(boxes: np.ndarray, width: float) -> np.ndarray:
     return out
 
 
+def random_crop(
+    image: np.ndarray,
+    boxes: np.ndarray,
+    crop_size: Tuple[float, float],
+    rng: np.random.RandomState,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Relative-range random crop (reference RandomCrop "relative_range"):
+    crop h, w sampled in [crop_size, 1] fractions of the image."""
+    h, w = image.shape[:2]
+    ch = int(h * (crop_size[0] + (1 - crop_size[0]) * rng.rand()) + 0.5)
+    cw = int(w * (crop_size[1] + (1 - crop_size[1]) * rng.rand()) + 0.5)
+    y0 = rng.randint(0, h - ch + 1)
+    x0 = rng.randint(0, w - cw + 1)
+    image = image[y0 : y0 + ch, x0 : x0 + cw]
+    boxes = boxes - np.array([x0, y0, x0, y0], boxes.dtype)
+    return np.ascontiguousarray(image), boxes
+
+
 class TrainAugment:
-    """ResizeShortestEdge(choice of short sides) + RandomFlip(horizontal 0.5)."""
+    """[RandomCrop] + ResizeShortestEdge(choice) + RandomFlip(horizontal 0.5)."""
 
     def __init__(
         self,
@@ -67,15 +85,19 @@ class TrainAugment:
         max_size: int = 1333,
         flip: bool = True,
         rng: Optional[np.random.RandomState] = None,
+        crop: Optional[Tuple[float, float]] = None,  # relative_range crop size
     ):
         self.short_sides = list(short_sides)
         self.max_size = max_size
         self.flip = flip
+        self.crop = crop
         self.rng = rng or np.random.RandomState()
 
     def __call__(
         self, image: np.ndarray, boxes: np.ndarray
     ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.crop is not None:
+            image, boxes = random_crop(image, boxes, self.crop, self.rng)
         h, w = image.shape[:2]
         short = self.short_sides[self.rng.randint(len(self.short_sides))]
         nh, nw = resize_shortest_edge_size(h, w, short, self.max_size)

@@ -68,6 +68,11 @@ class ModelConfig:
     # (pure-XLA, exact for every box) — see ops/roi_align_pallas.py
     roi_align_impl: str = "pallas"
     middle_fusion_inference_shares_backbone: bool = False
+    # middle-fusion ablations (reference MODEL.BLUR_RGB / MAX_POOL_RGB,
+    # rcnn.py:137-144,193-195; NOTE: the reference's blur path is actually a
+    # crash-bug — apply_Gaussian_blur returns None — we implement the intent)
+    blur_rgb: bool = False
+    max_pool_rgb: bool = False
     rpn: RPNConfig = dataclasses.field(default_factory=RPNConfig)
     roi: ROIHeadsConfig = dataclasses.field(default_factory=ROIHeadsConfig)
     rcnn: FastRCNNConfig = dataclasses.field(default_factory=FastRCNNConfig)
@@ -176,6 +181,15 @@ def extract_features(
         f_t = apply_fpn(
             params[fpn2], apply_resnet(params[bb2], thermal, freeze_at=freeze, dtype=dtype), dtype=dtype
         )
+        if training and cfg.blur_rgb:
+            from .gaussian_blur import gaussian_blur
+
+            for k in ("p2", "p3", "p4"):
+                f_rgb[k] = gaussian_blur(f_rgb[k], (5, 5), (3.0, 3.0))
+        if training and cfg.max_pool_rgb:
+            from .layers import max_pool
+
+            f_rgb = {k: max_pool(v, 3, 1, padding=1) for k, v in f_rgb.items()}
         return {k: jnp.concatenate([f_rgb[k], f_t[k]], axis=-1) for k in f_rgb}
     feats = apply_resnet(params["backbone"], images, freeze_at=freeze, dtype=dtype)
     return apply_fpn(params["fpn"], feats, dtype=dtype)

@@ -27,6 +27,43 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pair_gather(rows: int, c: int, dtype_name: str):
+    """custom-vjp'd (rows, C) x (N,) -> (N, 2, C) adjacent-row-pair gather,
+    specialized per static operand shape/dtype."""
+    dtype = jnp.dtype(dtype_name)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+
+    @jax.custom_vjp
+    def pair_gather(padded, starts):
+        return jax.lax.gather(
+            padded, starts[:, None], dn, slice_sizes=(2, c),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+
+    def fwd(padded, starts):
+        return pair_gather(padded, starts), starts
+
+    def bwd(starts, g):
+        out = jnp.zeros((rows, c), jnp.float32)
+        out = out.at[starts].add(g[:, 0].astype(jnp.float32))
+        out = out.at[starts + 1].add(g[:, 1].astype(jnp.float32))
+        return out.astype(dtype), None
+
+    pair_gather.defvjp(fwd, bwd)
+    return pair_gather
+
+
+def _pair_gather(padded: Array, starts: Array) -> Array:
+    fn = _make_pair_gather(padded.shape[0], padded.shape[1], str(padded.dtype))
+    return fn(padded, starts)
+
+
 def roi_level_assignment(
     boxes: Array,
     min_level: int,
@@ -96,21 +133,12 @@ def _bilinear_gather(
         [flat_features, jnp.zeros((1, c), flat_features.dtype)], axis=0
     )
 
+    # _pair_gather carries a custom VJP: XLA lowers the gather's native
+    # transpose to a SERIAL one-row-per-iteration scatter on TPU (measured
+    # 1.6 s/step in training); the explicit dual scatter-add is ~25x faster.
     def gather_pairs(row_start):  # (K, Ny, Nx) int32 -> (K, Ny, Nx, 2, C)
-        starts = jnp.clip(row_start.reshape(-1, 1), 0, l - 1)
-        dn = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2),
-            collapsed_slice_dims=(),
-            start_index_map=(0,),
-        )
-        out = jax.lax.gather(
-            padded,
-            starts,
-            dn,
-            slice_sizes=(2, c),
-            mode=jax.lax.GatherScatterMode.CLIP,
-        )
-        return out.reshape(k, ny, nx, 2, c)
+        starts = jnp.clip(row_start.reshape(-1), 0, l - 1)
+        return _pair_gather(padded, starts).reshape(k, ny, nx, 2, c)
 
     wx_pair_hi = hx[:, None, :]  # weight of x0 column
     wx_pair_lo = lx[:, None, :]  # weight of x0+1 column

@@ -75,14 +75,41 @@ class Visualizer:
                             0.4, (0, 0, 0), 1, cv2.LINE_AA)
         return self
 
+    def draw_masks(self, masks: np.ndarray, classes: Optional[np.ndarray] = None,
+                   alpha: float = 0.45) -> "Visualizer":
+        """Overlay (N, H, W) boolean masks with per-class colors."""
+        for i, m in enumerate(np.asarray(masks)):
+            color = np.array(_color_for(int(classes[i]) if classes is not None else i))
+            region = m.astype(bool)
+            self.img[region] = (
+                (1 - alpha) * self.img[region] + alpha * color
+            ).astype(np.uint8)
+        return self
+
+    def draw_keypoints(self, keypoints: np.ndarray, radius: int = 3) -> "Visualizer":
+        """Draw (N, K, 3) keypoints (x, y, score/visibility > 0)."""
+        cv2 = self._cv2
+        for inst in np.asarray(keypoints):
+            for x, y, v in inst:
+                if v > 0:
+                    cv2.circle(self.img, (int(round(x * self.scale)),
+                                          int(round(y * self.scale))),
+                               radius, (0, 255, 0), -1)
+        return self
+
     def draw_instance_predictions(self, predictions: Dict) -> "Visualizer":
-        """predictions: dict with boxes/scores/classes numpy arrays (the
-        Predictor.predict_batch record format)."""
-        return self.overlay_instances(
+        """predictions: dict with boxes/scores/classes (+ optional masks (N,H,W),
+        keypoints (N,K,3)) numpy arrays (Predictor.predict_batch format)."""
+        if predictions.get("masks") is not None:
+            self.draw_masks(predictions["masks"], predictions.get("classes"))
+        out = self.overlay_instances(
             boxes=predictions.get("boxes"),
             classes=predictions.get("classes"),
             scores=predictions.get("scores"),
         )
+        if predictions.get("keypoints") is not None:
+            self.draw_keypoints(predictions["keypoints"])
+        return out
 
     def get_image(self) -> np.ndarray:
         return self.img

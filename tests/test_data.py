@@ -171,3 +171,25 @@ def test_test_loader_covers_all(flir_mini):
         seen.extend(batch["image_id"][: batch["num_real"]])
         assert batch["image"].shape[0] == 3  # static batch even when short
     assert seen == [1, 2, 3, 4]
+
+
+def test_random_crop():
+    from proben_tpu.data.transforms import random_crop
+
+    rng = np.random.RandomState(0)
+    img = np.arange(100 * 120 * 3, dtype=np.float32).reshape(100, 120, 3)
+    boxes = np.array([[10.0, 10.0, 60.0, 50.0]], np.float32)
+    cimg, cboxes = random_crop(img, boxes, (0.7, 0.7), rng)
+    assert 70 <= cimg.shape[0] <= 100 and 84 <= cimg.shape[1] <= 120
+    # box shifted by the crop origin (may be partially outside; mapper clips)
+    assert cboxes[0, 2] - cboxes[0, 0] == 50.0
+
+
+def test_mapper_with_crop(flir_mini):
+    dicts = load_coco_json(flir_mini["json"], flir_mini["thermal"])
+    cfg = MapperConfig(pad_shape=(256, 320), max_gt=8,
+                       min_size_train=(160,), max_size_train=320,
+                       crop=(0.8, 0.8))
+    mapper = DatasetMapper(cfg, is_train=True, seed=0)
+    s = mapper(dicts[0])
+    assert s["image"].shape == (256, 320, 3)
