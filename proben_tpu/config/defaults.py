@@ -24,6 +24,7 @@ _DEFAULTS = {
         # TPU-specific: compute precision for the conv path
         "COMPUTE_DTYPE": "float32",
         "ROI_ALIGN_IMPL": "pallas",  # pallas | gather (see ops/roi_align_pallas.py)
+        "REMAT_BACKBONE": False,  # checkpoint backbone blocks (big-batch training)
         "MIDDLE_FUSION_INFERENCE_SHARES_BACKBONE": False,
         "BACKBONE": {"NAME": "build_resnet_fpn_backbone", "FREEZE_AT": 2},
         "RESNETS": {
@@ -159,6 +160,7 @@ def model_config_from_cfg(cfg: CfgNode):
         blur_rgb=m.BLUR_RGB,
         max_pool_rgb=m.MAX_POOL_RGB,
         roi_align_impl=m.ROI_ALIGN_IMPL,
+        remat_backbone=m.REMAT_BACKBONE,
         middle_fusion_inference_shares_backbone=m.MIDDLE_FUSION_INFERENCE_SHARES_BACKBONE,
         rpn=RPNConfig(
             pre_nms_topk_train=m.RPN.PRE_NMS_TOPK_TRAIN,

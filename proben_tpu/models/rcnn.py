@@ -73,6 +73,8 @@ class ModelConfig:
     # crash-bug — apply_Gaussian_blur returns None — we implement the intent)
     blur_rgb: bool = False
     max_pool_rgb: bool = False
+    # checkpoint backbone blocks during training (memory for big batches)
+    remat_backbone: bool = False
     rpn: RPNConfig = dataclasses.field(default_factory=RPNConfig)
     roi: ROIHeadsConfig = dataclasses.field(default_factory=ROIHeadsConfig)
     rcnn: FastRCNNConfig = dataclasses.field(default_factory=FastRCNNConfig)
@@ -171,15 +173,20 @@ def extract_features(
     """Backbone(+fusion)+FPN. ``images`` already normalized (N, H, W, C)."""
     dtype = cfg.dtype
     freeze = cfg.freeze_at if training else 0
+    remat = cfg.remat_backbone and training
     if cfg.input_format == "BGRTTT":
         rgb, thermal = images[..., :3], images[..., 3:]
         f_rgb = apply_fpn(
-            params["fpn"], apply_resnet(params["backbone"], rgb, freeze_at=freeze, dtype=dtype), dtype=dtype
+            params["fpn"],
+            apply_resnet(params["backbone"], rgb, freeze_at=freeze, dtype=dtype, remat=remat),
+            dtype=dtype,
         )
         bb2 = "backbone" if (not training and cfg.middle_fusion_inference_shares_backbone) else "backbone_2"
         fpn2 = "fpn" if (not training and cfg.middle_fusion_inference_shares_backbone) else "fpn_2"
         f_t = apply_fpn(
-            params[fpn2], apply_resnet(params[bb2], thermal, freeze_at=freeze, dtype=dtype), dtype=dtype
+            params[fpn2],
+            apply_resnet(params[bb2], thermal, freeze_at=freeze, dtype=dtype, remat=remat),
+            dtype=dtype,
         )
         if training and cfg.blur_rgb:
             from .gaussian_blur import gaussian_blur
@@ -191,7 +198,9 @@ def extract_features(
 
             f_rgb = {k: max_pool(v, 3, 1, padding=1) for k, v in f_rgb.items()}
         return {k: jnp.concatenate([f_rgb[k], f_t[k]], axis=-1) for k in f_rgb}
-    feats = apply_resnet(params["backbone"], images, freeze_at=freeze, dtype=dtype)
+    feats = apply_resnet(
+        params["backbone"], images, freeze_at=freeze, dtype=dtype, remat=remat
+    )
     return apply_fpn(params["fpn"], feats, dtype=dtype)
 
 

@@ -107,10 +107,13 @@ def apply_resnet(
     out_features: Sequence[str] = STAGE_NAMES,
     freeze_at: int = 0,
     dtype=None,
+    remat: bool = False,
 ) -> Dict[str, Array]:
     """Run the backbone. ``freeze_at`` semantics mirror the reference
     (1 = freeze stem, 2 = +res2, ...): frozen sections run under
-    stop_gradient so backward skips them entirely."""
+    stop_gradient so backward skips them entirely. ``remat`` checkpoints
+    each residual block (recompute activations in backward) — trades ~30%
+    step time for the memory to fit large training batches."""
     out: Dict[str, Array] = {}
     h = conv2d(x, params["stem"]["conv1"], stride=2, padding=3, dtype=dtype)
     h = jax.nn.relu(affine(h, params["stem"]["norm1"]))
@@ -120,10 +123,14 @@ def apply_resnet(
     if "stem" in out_features:
         out["stem"] = h
 
+    block_fn = _bottleneck
+    if remat:
+        block_fn = jax.checkpoint(_bottleneck, static_argnums=(2, 3))
+
     stage_strides = (1, 2, 2, 2)
     for i, name in enumerate(STAGE_NAMES):
         for b, block in enumerate(params[name]):
-            h = _bottleneck(block, h, stride=stage_strides[i] if b == 0 else 1, dtype=dtype)
+            h = block_fn(block, h, stage_strides[i] if b == 0 else 1, dtype)
         if freeze_at >= i + 2:
             h = jax.lax.stop_gradient(h)
         if name in out_features:
