@@ -139,3 +139,31 @@ def test_degenerate_box_no_nan():
                              levels=jnp.zeros((1,), jnp.int32))
     )
     assert np.isfinite(out).all()
+
+
+def test_pair_gather_custom_vjp_matches_native_grad():
+    """The custom scatter-add VJP must equal the native gather transpose."""
+    import jax
+
+    from proben_tpu.ops.roi_align import _pair_gather
+
+    rng = np.random.RandomState(5)
+    L, C, N = 37, 8, 50
+    padded = jnp.asarray(rng.rand(L + 1, C).astype(np.float32))
+    starts = jnp.asarray(rng.randint(0, L, N).astype(np.int32))
+    cotangent = jnp.asarray(rng.rand(N, 2, C).astype(np.float32))
+
+    def native(padded):
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
+        )
+        out = jax.lax.gather(padded, starts[:, None], dn, slice_sizes=(2, C),
+                             mode=jax.lax.GatherScatterMode.CLIP)
+        return jnp.sum(out * cotangent)
+
+    def custom(padded):
+        return jnp.sum(_pair_gather(padded, starts) * cotangent)
+
+    g_native = jax.grad(native)(padded)
+    g_custom = jax.grad(custom)(padded)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_native), atol=1e-5)
