@@ -6,6 +6,15 @@ purely in shape discipline: the (R, C) score-threshold filter + per-class NMS
 + top-k becomes a masked candidate set of static size with validity bits, and
 the outputs carry the ProbEn side-channels (class_logits, per-box probs,
 variance) as padded arrays inside a ``Detections`` pytree.
+
+Known reference bug NOT reproduced: reference ``fast_rcnn.py:144-145`` fills
+``Instances.vars`` as ``variance[keep]``, where ``keep`` indexes the
+score-thresholded *candidate* list but ``variance`` is per-RoI — the saved
+vars come from unrelated RoIs (and the indexing IndexErrors whenever more
+than R candidates pass the threshold). We attach the variance of the RoI
+that actually produced each kept detection (the evident intent, and what
+the v-avg ProbEn fusion assumes). Verified in
+tests/test_reference_parity.py::test_fast_rcnn_inference_decode_vs_reference.
 """
 
 from __future__ import annotations

@@ -1,7 +1,12 @@
 """Golden-value regression tests (reference tests/test_rpn.py:17-76 style):
 seeded tiny components assert exact expected numbers, locking numerics
-against refactors. Values were produced by this implementation on CPU and
-re-derived independently where tractable."""
+against refactors.
+
+Provenance: the same quantities (delta codec, matcher labels, RPN and
+FastRCNN loss values, fusion outputs, COCOeval metrics) are validated against
+the reference repo's own code in test_reference_parity.py (via
+tests/ref_oracle.py), so these constants serve as fast refactor locks on
+numerics already tied to the reference."""
 
 import jax
 import jax.numpy as jnp
