@@ -79,7 +79,7 @@ _DEFAULTS = {
             "NUM_CONV": 0,
             "CONV_DIM": 256,
             "POOLER_RESOLUTION": 7,
-            "POOLER_SAMPLING_RATIO": 2,  # reference default 0 (adaptive); static on TPU
+            "POOLER_SAMPLING_RATIO": 0,  # 0 = adaptive ceil(roi/P), reference default
             "BBOX_REG_WEIGHTS": [10.0, 10.0, 5.0, 5.0],
             "SMOOTH_L1_BETA": 0.0,
             "CLS_AGNOSTIC_BBOX_REG": False,
@@ -125,6 +125,7 @@ _DEFAULTS = {
         "EVAL_PERIOD": 0,
         "EXPECTED_RESULTS": [],
         "AUG": {"ENABLED": False},
+        "PRECISE_BN": {"ENABLED": False, "NUM_ITER": 200},
     },
 }
 
@@ -181,7 +182,7 @@ def model_config_from_cfg(cfg: CfgNode):
             positive_fraction=m.ROI_HEADS.POSITIVE_FRACTION,
             iou_threshold=m.ROI_HEADS.IOU_THRESHOLDS[0],
             pooler_resolution=m.ROI_BOX_HEAD.POOLER_RESOLUTION,
-            pooler_sampling_ratio=max(1, m.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO),
+            pooler_sampling_ratio=m.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
         ),
         rcnn=FastRCNNConfig(
             num_classes=num_classes,

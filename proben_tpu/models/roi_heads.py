@@ -36,7 +36,7 @@ class ROIHeadsConfig:
     positive_fraction: float = 0.25
     iou_threshold: float = 0.5
     pooler_resolution: int = 7
-    pooler_sampling_ratio: int = 2
+    pooler_sampling_ratio: int = 0
     in_strides: Tuple[int, ...] = (4, 8, 16, 32)  # p2..p5
     canonical_box_size: float = 224.0
     canonical_level: int = 4

@@ -1,67 +1,60 @@
-"""RoIAlign (V2 / `aligned=True`) as pure-XLA gathers over a flattened FPN pyramid.
+"""RoIAlign (V2 / ``aligned=True``) as windowed dense einsums with per-box
+separable interpolation-weight matrices — exact ADAPTIVE sampling included.
 
 TPU-native replacement for the reference CUDA kernel
-(`detectron2/layers/csrc/ROIAlign/ROIAlign_cuda.cu`) and the multi-level
-`ROIPooler` scatter/gather (`detectron2/modeling/poolers.py:84-235`). Instead
-of per-level dynamic partitioning of boxes (ragged), all FPN levels are
-flattened and concatenated into one (sum_l H_l*W_l, C) array; every box
-computes gather indices offset by its assigned level's base. One vectorized
-pass, static shapes, exact per-level semantics, and autodiff gives the
-scatter-add backward for free.
+(`detectron2/layers/csrc/ROIAlign/ROIAlign_cuda.cu:88-140`) and the
+multi-level ``ROIPooler`` scatter/gather (`detectron2/modeling/poolers.py:84-235`).
 
-Semantics follow ROIAlignV2:
-  * coordinates scaled by 1/stride then shifted by -0.5 (half-pixel alignment)
-  * fixed sampling_ratio S (the reference default is adaptive `ratio=0`;
-    we use a static S=2 as is standard for TPU ports — documented deviation)
-  * sample points outside [-1, H] x [-1, W] contribute exactly 0
-  * in-range points are clamped to [0, H-1] x [0, W-1] before bilinear interp
+Key reformulation: ROIAlignV2's bilinear sampling + in-bin averaging is fully
+separable per axis, so for every RoI the pooled output is two small matmuls
+
+    out[p, q, c] = sum_{h, w} Wy[p, h] * Wx[q, w] * window[h, w, c]
+
+where ``Wy`` (P, WIN) folds — per output row p — ALL of that bin's sample
+rows' bilinear weights and the 1/grid averaging into one dense row-weight
+vector. Because the sampling grid count only changes the WEIGHTS and never
+the compute shape, the reference's adaptive sampling ratio
+(``POOLER_SAMPLING_RATIO=0`` → ``grid = ceil(roi_size/P)`` per RoI, the
+detectron2 default, `detectron2/config/defaults.py:290`) is exact here at the
+same cost as any static ratio — no ragged shapes, MXU-friendly.
+
+Exact CUDA-kernel semantics reproduced (`ROIAlign_cuda.cu:88-140`):
+  * coordinates scaled by 1/stride then shifted by -0.5 (half-pixel, V2)
+  * grid_y = ceil(roi_h/P) when ratio==0 (can be <=0 for degenerate boxes ->
+    that axis contributes nothing and the output is 0, count = max(g*g, 1))
+  * sample points outside [-1, H] x [-1, W] contribute exactly 0 but still
+    count in the average divisor
+  * in-range points are clamped to [0, H-1] x [0, W-1]; the high bilinear
+    index is border-clamped (y0 >= H-1 -> all weight on row H-1)
+
+Evaluation strategy (static shapes, three tiers):
+  1. windowed einsum: each RoI reads one static (WIN_Y, WIN_X) window of its
+     FPN level (XLA slice-gather here; DMA in ops/roi_align_pallas.py — both
+     consume the SAME weights/origins, so they agree bit-for-bit in f32).
+  2. whole-map fallback: RoIs whose sample span or grid count exceeds the
+     window ("out-of-window", e.g. pathologically elongated boxes) are
+     detected during weight construction; the top ``fallback_capacity`` of
+     them are re-pooled exactly against their FULL (unwindowed) level map.
+  3. beyond-capacity overflow (requires > capacity giant-span RoIs in one
+     image) keeps the window-clamped approximation of tier 1.
 """
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+import functools
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
 
-
-import functools
-
-
-@functools.lru_cache(maxsize=None)
-def _make_pair_gather(rows: int, c: int, dtype_name: str):
-    """custom-vjp'd (rows, C) x (N,) -> (N, 2, C) adjacent-row-pair gather,
-    specialized per static operand shape/dtype."""
-    dtype = jnp.dtype(dtype_name)
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
-    )
-
-    @jax.custom_vjp
-    def pair_gather(padded, starts):
-        return jax.lax.gather(
-            padded, starts[:, None], dn, slice_sizes=(2, c),
-            mode=jax.lax.GatherScatterMode.CLIP,
-        )
-
-    def fwd(padded, starts):
-        return pair_gather(padded, starts), starts
-
-    def bwd(starts, g):
-        out = jnp.zeros((rows, c), jnp.float32)
-        out = out.at[starts].add(g[:, 0].astype(jnp.float32))
-        out = out.at[starts + 1].add(g[:, 1].astype(jnp.float32))
-        return out.astype(dtype), None
-
-    pair_gather.defvjp(fwd, bwd)
-    return pair_gather
-
-
-def _pair_gather(padded: Array, starts: Array) -> Array:
-    fn = _make_pair_gather(padded.shape[0], padded.shape[1], str(padded.dtype))
-    return fn(padded, starts)
+# Static feature-space window, shared with the Pallas kernel: the x (W) axis
+# is sublane-tiled in the HBM layout, so its DMA offset must be aligned — the
+# origin is aligned down to 16 and the window widened to 64 to compensate.
+WIN_Y = 56
+WIN_X = 64
+X_ALIGN = 16
 
 
 def roi_level_assignment(
@@ -83,78 +76,265 @@ def roi_level_assignment(
     return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
 
 
-def _bilinear_gather(
-    flat_features: Array,  # (L, C)
-    y: Array,  # (K, Ny) sample y coords in feature space
-    x: Array,  # (K, Nx) sample x coords
-    height: Array,  # (K,) per-box level height
-    width: Array,  # (K,) per-box level width
-    base_offset: Array,  # (K,) per-box flat offset of its level
-) -> Array:
-    """Bilinear interpolation at the outer product of y and x sample coords.
+def axis_weights(
+    start: Array,  # (K,) roi start coordinate (feature space, V2-aligned)
+    bin_sz: Array,  # (K,) bin size = roi_span / P (may be <= 0)
+    dim_size: Array,  # (K,) level H (or W) per RoI
+    win_start: Array,  # (K,) int32 window origin (0 for whole-map)
+    win: int,  # static window extent
+    p: int,  # pooled output size along this axis
+    ratio: int,  # static sampling ratio; 0 = adaptive ceil(bin_sz)
+    s_max: int,  # static number of sample slots (== ratio when ratio > 0)
+) -> Tuple[Array, Array]:
+    """(K, P, win) composite f32 row weights + (K,) out-of-window flags.
 
-    Returns (K, Ny, Nx, C). Points outside [-1, dim] yield 0 (ROIAlign spec).
+    Folds bilinear interpolation and in-bin sample averaging into one dense
+    weight matrix per RoI with exact ROIAlignV2 border semantics.
     """
-    # validity BEFORE clamping
-    valid_y = (y >= -1.0) & (y <= height[:, None])  # (K, Ny)
-    valid_x = (x >= -1.0) & (x <= width[:, None])  # (K, Nx)
+    if ratio > 0:
+        s_max = ratio
+        grid = jnp.full(start.shape, float(ratio), jnp.float32)
+        over = jnp.zeros(start.shape, bool)
+    else:
+        # reference: roi_bin_grid = ceil(roi_size / pooled_size) == ceil(bin)
+        grid = jnp.ceil(bin_sz)
+        over = grid > float(s_max)  # adaptive grid beyond slot capacity
 
-    yc = jnp.clip(y, 0.0, height[:, None].astype(y.dtype) - 1.0)
-    xc = jnp.clip(x, 0.0, width[:, None].astype(x.dtype) - 1.0)
+    gridc = jnp.clip(grid, 1.0, float(s_max))  # sampling divisor
+    i = jnp.arange(s_max, dtype=jnp.float32)
+    pp = jnp.arange(p, dtype=jnp.float32)
+    # sample coordinates (K, P, S): start + (p + (i+0.5)/grid) * bin
+    coords = (
+        start[:, None, None]
+        + (pp[None, :, None] + (i[None, None, :] + 0.5) / gridc[:, None, None])
+        * bin_sz[:, None, None]
+    )
+    slot_ok = i[None, None, :] < jnp.minimum(grid, float(s_max))[:, None, None]
+    dimf = dim_size.astype(jnp.float32)[:, None, None]
+    # outside [-1, dim] -> contributes 0 (but still counts in the divisor)
+    valid = (coords >= -1.0) & (coords <= dimf)
+    c = jnp.clip(coords, 0.0, dimf - 1.0)
+    c0 = jnp.floor(c)
+    frac = c - c0
+    # border clamp: hi index out of range -> all weight moves to lo
+    hi_oob = c0 + 1.0 > dimf - 1.0
+    frac = jnp.where(hi_oob, 0.0, frac)
+    rel = c0.astype(jnp.int32) - win_start[:, None, None]
 
-    y0 = jnp.floor(yc)
-    x0 = jnp.floor(xc)
-    ly = yc - y0  # (K, Ny)
-    lx = xc - x0  # (K, Nx)
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-    # high index clamped like the CUDA kernel (y_low >= H-1 -> y_high=y_low, ly=0)
-    y1i = jnp.minimum(y0i + 1, height[:, None] - 1)
-    ly = jnp.where(y0i + 1 > height[:, None] - 1, 0.0, ly)
-    lx = jnp.where(x0i + 1 > width[:, None] - 1, 0.0, lx)
-    hy, hx = 1.0 - ly, 1.0 - lx
+    active = slot_ok & valid
+    lost = active & (
+        (rel < 0) | (rel > win - 1) | ((rel > win - 2) & (frac > 0.0))
+    )
+    oow = jnp.any(lost, axis=(1, 2)) | over
 
-    w = width[:, None, None]  # (K,1,1) row stride within level
-    off = base_offset[:, None, None]
+    lo = jnp.clip(rel, 0, win - 1)
+    hi = jnp.clip(rel + 1, 0, win - 1)
+    cols = jnp.arange(win, dtype=jnp.int32)
+    w_lo = (cols == lo[..., None]) * (1.0 - frac)[..., None]
+    w_hi = (cols == hi[..., None]) * frac[..., None]
+    w = jnp.sum((w_lo + w_hi) * active[..., None].astype(jnp.float32), axis=2)
+    w = w / gridc[:, None, None]
+    return w.astype(jnp.float32), oow
 
-    c = flat_features.shape[-1]
-    l = flat_features.shape[0]
-    k, ny, nx = y.shape[0], y.shape[1], x.shape[1]
 
-    # In the W-major flattened layout the two x-corners of a sample are
-    # ADJACENT rows, so one (2, C) strided gather fetches both — half the
-    # gather traffic of 4 single-row fetches (this is the hottest op of the
-    # whole detector; see the repo's profiling notes). The x0+1 row may stray
-    # across a border only when its weight lx was already forced to 0.
-    # one zero pad row so a pair starting at the last real row stays in
-    # bounds without shifting the slice (clipping would corrupt the first
-    # element's value)
-    padded = jnp.concatenate(
-        [flat_features, jnp.zeros((1, c), flat_features.dtype)], axis=0
+def window_origin(
+    start: Array,  # (K,) first sample-span coordinate (feature space)
+    dim: Array,  # (K,) level extent
+    pad_dim: Array,  # (K,) padded level extent (>= win)
+    win: int,
+    align: int = 1,
+) -> Array:
+    """Per-RoI window origin: floor of the clamped span start, aligned down.
+
+    Shared by the XLA and Pallas paths so their weights are identical.
+    """
+    first = jnp.clip(start, 0.0, dim.astype(jnp.float32) - 1.0)
+    o = jnp.floor(first).astype(jnp.int32)
+    o = (o // align) * align
+    return jnp.clip(o, 0, pad_dim - win)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_window_gather(rows: int, c: int, win_x: int, dtype_name: str):
+    """custom-vjp'd (rows, C) x (M,) -> (M, win_x, C) contiguous slice gather.
+
+    XLA lowers a gather's native transpose to a serial one-row-per-iteration
+    scatter on TPU (measured 1.6 s/step in round 1); the explicit dense
+    scatter-add below is ~25x faster.
+    """
+    dtype = jnp.dtype(dtype_name)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
     )
 
-    # _pair_gather carries a custom VJP: XLA lowers the gather's native
-    # transpose to a SERIAL one-row-per-iteration scatter on TPU (measured
-    # 1.6 s/step in training); the explicit dual scatter-add is ~25x faster.
-    def gather_pairs(row_start):  # (K, Ny, Nx) int32 -> (K, Ny, Nx, 2, C)
-        starts = jnp.clip(row_start.reshape(-1), 0, l - 1)
-        return _pair_gather(padded, starts).reshape(k, ny, nx, 2, c)
-
-    wx_pair_hi = hx[:, None, :]  # weight of x0 column
-    wx_pair_lo = lx[:, None, :]  # weight of x0+1 column
-
-    out = jnp.zeros((k, ny, nx, c), flat_features.dtype)
-    for yi, wy in ((y0i, hy), (y1i, ly)):
-        rows = off + yi[:, :, None] * w + x0i[:, None, :]
-        pair = gather_pairs(rows)
-        mixed = (
-            pair[..., 0, :] * wx_pair_hi[..., None].astype(flat_features.dtype)
-            + pair[..., 1, :] * wx_pair_lo[..., None].astype(flat_features.dtype)
+    @jax.custom_vjp
+    def window_gather(flat, starts):
+        return jax.lax.gather(
+            flat, starts[:, None], dn, slice_sizes=(win_x, c),
+            mode=jax.lax.GatherScatterMode.CLIP,
         )
-        out = out + mixed * wy[:, :, None, None].astype(flat_features.dtype)
 
-    valid = (valid_y[:, :, None] & valid_x[:, None, :])[..., None]
-    return jnp.where(valid, out, 0.0)
+    def fwd(flat, starts):
+        return window_gather(flat, starts), starts
+
+    def bwd(starts, g):
+        idx = (starts[:, None] + jnp.arange(win_x, dtype=jnp.int32)[None, :]).reshape(-1)
+        out = jnp.zeros((rows, c), jnp.float32)
+        out = out.at[idx].add(g.reshape(-1, c).astype(jnp.float32))
+        return out.astype(dtype), None
+
+    window_gather.defvjp(fwd, bwd)
+    return window_gather
+
+
+def _gather_windows(flat: Array, starts: Array, win_x: int) -> Array:
+    fn = _make_window_gather(flat.shape[0], flat.shape[1], win_x, str(flat.dtype))
+    return fn(flat, starts)
+
+
+def _pool_from_windows(windows: Array, wy: Array, wx: Array, out_dtype) -> Array:
+    """(K, WY, WX, C) x (K, P, WY) x (K, P, WX) -> (K, P, P, C), f32 accum."""
+    wdt = windows.dtype
+    t1 = jax.lax.dot_general(
+        wy.astype(wdt), windows,
+        dimension_numbers=((((2,), (1,))), (((0,), (0,)))),
+        preferred_element_type=jnp.float32,
+    )  # (K, P, WX, C)
+    out = jax.lax.dot_general(
+        wx.astype(t1.dtype), t1,
+        dimension_numbers=((((2,), (2,))), (((0,), (0,)))),
+        preferred_element_type=jnp.float32,
+    )  # (K, Px, Py, C)
+    return jnp.transpose(out, (0, 2, 1, 3)).astype(out_dtype)
+
+
+def _roi_geometry(
+    boxes: Array,  # (K, 4) XYXY image coords
+    lvl_idx: Array,  # (K,) level index (0-based into `strides`)
+    strides: Sequence[int],
+    p: int,
+):
+    """Per-RoI V2-aligned start/bin per axis at the assigned level."""
+    inv_strides = jnp.array([1.0 / s for s in strides], jnp.float32)
+    scale = inv_strides[lvl_idx]
+    x1 = boxes[:, 0] * scale - 0.5
+    y1 = boxes[:, 1] * scale - 0.5
+    bin_w = (boxes[:, 2] * scale - 0.5 - x1) / p
+    bin_h = (boxes[:, 3] * scale - 0.5 - y1) / p
+    return y1, x1, bin_h, bin_w
+
+
+def wholemap_roi_align(
+    features: Sequence[Array],  # per level (H_l, W_l, C), unpadded
+    boxes: Array,  # (B, 4)
+    lvl_idx: Array,  # (B,) 0-based level index
+    strides: Sequence[int],
+    output_size: int,
+    sampling_ratio: int,
+) -> Array:
+    """Exact pooling against full (unwindowed) level maps. O(B * H_l * W_l * C)
+    per level — use only for the few out-of-window RoIs."""
+    p = output_size
+    y1, x1, bin_h, bin_w = _roi_geometry(boxes, lvl_idx, strides, p)
+    zero = jnp.zeros(boxes.shape[0], jnp.int32)
+    c = features[0].shape[-1]
+    out = jnp.zeros((boxes.shape[0], p, p, c), jnp.float32)
+    for li, f in enumerate(features):
+        h_l, w_l = f.shape[0], f.shape[1]
+        # static slot count covering any in-map span (+2 margin for spans
+        # slightly beyond the map; samples there are zero-contribution)
+        s_hi_y = max(sampling_ratio, -(-h_l // p) + 2)
+        s_hi_x = max(sampling_ratio, -(-w_l // p) + 2)
+        dim_h = jnp.full_like(zero, h_l)
+        dim_w = jnp.full_like(zero, w_l)
+        wy, _ = axis_weights(y1, bin_h, dim_h, zero, h_l, p, sampling_ratio, s_hi_y)
+        wx, _ = axis_weights(x1, bin_w, dim_w, zero, w_l, p, sampling_ratio, s_hi_x)
+        m = (lvl_idx == li).astype(jnp.float32)[:, None, None]
+        wy = wy * m
+        t1 = jnp.einsum(
+            "bph,hwc->bpwc", wy.astype(f.dtype), f,
+            preferred_element_type=jnp.float32,
+        ).astype(f.dtype)
+        out = out + jnp.einsum(
+            "bqw,bpwc->bpqc", wx.astype(f.dtype), t1,
+            preferred_element_type=jnp.float32,
+        )
+    return out
+
+
+def apply_oow_fallback(
+    pooled: Array,  # (K, P, P, C) windowed result
+    oow: Array,  # (K,) bool
+    features: Sequence[Array],
+    boxes: Array,
+    lvl_idx: Array,
+    strides: Sequence[int],
+    output_size: int,
+    sampling_ratio: int,
+    capacity: int,
+) -> Array:
+    """Replace up to ``capacity`` out-of-window rows with exact whole-map
+    pooling (shared by the XLA and Pallas paths)."""
+    if capacity <= 0:
+        return pooled
+    k = boxes.shape[0]
+    capacity = min(capacity, k)
+    order = jnp.argsort(jnp.where(oow, 0, 1))  # oow rows first (stable)
+    idx = order[:capacity]
+    fb = wholemap_roi_align(
+        features, boxes[idx], lvl_idx[idx], strides, output_size, sampling_ratio
+    )
+    upd = jnp.where(oow[idx][:, None, None, None], fb.astype(pooled.dtype), pooled[idx])
+    return pooled.at[idx].set(upd)
+
+
+def pad_level(f: Array, win_y: int = WIN_Y, win_x: int = WIN_X) -> Array:
+    """Pad one (..., H, W, C) level so a (win_y, win_x) window always fits
+    and every X_ALIGN-aligned x-origin keeps the window in bounds."""
+    pad_h = max(0, win_y - f.shape[-3])
+    target_w = max(f.shape[-2], win_x)
+    target_w = ((target_w + X_ALIGN - 1) // X_ALIGN) * X_ALIGN
+    pad_w = target_w - f.shape[-2]
+    if pad_h or pad_w:
+        cfg = [(0, 0)] * (f.ndim - 3) + [(0, pad_h), (0, pad_w), (0, 0)]
+        f = jnp.pad(f, cfg)
+    return f
+
+
+def build_window_weights(
+    boxes: Array,  # (K, 4)
+    lvl_idx: Array,  # (K,)
+    strides: Sequence[int],
+    heights: Array,  # (num_levels,) true level heights
+    widths: Array,
+    pad_heights: Array,  # (num_levels,) padded level heights
+    pad_widths: Array,
+    output_size: int,
+    sampling_ratio: int,
+    s_max: int,
+):
+    """Shared weight/origin construction for the XLA and Pallas window paths.
+
+    Returns (y0, x0, wy, wx, oow): int32 window origins, (K, P, WIN) f32
+    weights, and the per-RoI out-of-window flag.
+    """
+    p = output_size
+    h_l = heights[lvl_idx]
+    w_l = widths[lvl_idx]
+    y1, x1, bin_h, bin_w = _roi_geometry(boxes, lvl_idx, strides, p)
+    # first sample position (grid divisor >= 1 puts it within [start, start+bin])
+    if sampling_ratio > 0:
+        gy = gx = jnp.full(boxes.shape[:1], float(sampling_ratio), jnp.float32)
+    else:
+        gy = jnp.clip(jnp.ceil(bin_h), 1.0, float(s_max))
+        gx = jnp.clip(jnp.ceil(bin_w), 1.0, float(s_max))
+    y0 = window_origin(y1 + 0.5 / gy * bin_h, h_l, pad_heights[lvl_idx], WIN_Y)
+    x0 = window_origin(
+        x1 + 0.5 / gx * bin_w, w_l, pad_widths[lvl_idx], WIN_X, align=X_ALIGN
+    )
+    wy, oow_y = axis_weights(y1, bin_h, h_l, y0, WIN_Y, p, sampling_ratio, s_max)
+    wx, oow_x = axis_weights(x1, bin_w, w_l, x0, WIN_X, p, sampling_ratio, s_max)
+    return y0, x0, wy, wx, oow_y | oow_x
 
 
 def multilevel_roi_align(
@@ -162,67 +342,84 @@ def multilevel_roi_align(
     boxes: Array,  # (K, 4) XYXY in input-image coords
     strides: Sequence[int],  # stride per level, e.g. (4, 8, 16, 32)
     output_size: int = 7,
-    sampling_ratio: int = 2,
+    sampling_ratio: int = 0,
     min_level: int = 2,
     canonical_box_size: float = 224.0,
     canonical_level: int = 4,
-    levels: Array = None,  # optional precomputed (K,) level per box
+    levels: Optional[Array] = None,  # optional precomputed (K,) level per box
+    s_max: int = 16,
+    fallback_capacity: int = 32,
+    box_chunk: Optional[int] = None,
 ) -> Array:
-    """Multi-level RoIAlignV2. Returns (K, P, P, C).
+    """Multi-level RoIAlignV2 (XLA windowed-einsum path). Returns (K, P, P, C).
 
-    Degenerate/padded boxes produce well-defined (possibly zero) outputs;
-    callers mask downstream.
+    ``sampling_ratio=0`` is the reference-default ADAPTIVE mode (exact).
+    Degenerate/padded boxes produce well-defined zero outputs; callers mask
+    downstream. ``box_chunk`` bounds the transient window memory
+    (K * WIN_Y * WIN_X * C) by evaluating boxes in chunks under ``lax.map``.
     """
     num_levels = len(features)
+    p = output_size
     c = features[0].shape[-1]
+    k = boxes.shape[0]
+
+    feats = [pad_level(f) for f in features]
     heights = jnp.array([f.shape[0] for f in features], jnp.int32)
     widths = jnp.array([f.shape[1] for f in features], jnp.int32)
-    sizes = [f.shape[0] * f.shape[1] for f in features]
+    pad_hs = jnp.array([f.shape[0] for f in feats], jnp.int32)
+    pad_ws = jnp.array([f.shape[1] for f in feats], jnp.int32)
+    sizes = [f.shape[0] * f.shape[1] for f in feats]
     offsets = jnp.array([sum(sizes[:i]) for i in range(num_levels)], jnp.int32)
-    inv_strides = jnp.array([1.0 / s for s in strides], jnp.float32)
-
-    flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
 
     if levels is None:
         levels = roi_level_assignment(
-            boxes,
-            min_level,
-            min_level + num_levels - 1,
-            canonical_box_size,
-            canonical_level,
+            boxes, min_level, min_level + num_levels - 1,
+            canonical_box_size, canonical_level,
         )
-    lvl_idx = levels - min_level  # (K,) in [0, num_levels)
-    box_h = heights[lvl_idx]
-    box_w = widths[lvl_idx]
-    box_off = offsets[lvl_idx]
-    scale = inv_strides[lvl_idx]  # (K,)
+    lvl_idx = levels - min_level
 
-    # ROIAlignV2: half-pixel aligned coordinates
-    x1 = boxes[:, 0] * scale - 0.5
-    y1 = boxes[:, 1] * scale - 0.5
-    x2 = boxes[:, 2] * scale - 0.5
-    y2 = boxes[:, 3] * scale - 0.5
-    roi_w = x2 - x1  # note: V2 does NOT clamp to >=1
-    roi_h = y2 - y1
+    y0, x0, wy, wx, oow = build_window_weights(
+        boxes, lvl_idx, strides, heights, widths, pad_hs, pad_ws,
+        p, sampling_ratio, s_max,
+    )
 
-    p, s = output_size, sampling_ratio
-    bin_w = roi_w / p
-    bin_h = roi_h / p
+    flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+    # flat start row of each window row r: base + (y0 + r) * padW + x0
+    base = offsets[lvl_idx] + y0 * pad_ws[lvl_idx] + x0  # (K,)
+    row_starts = base[:, None] + jnp.arange(WIN_Y, dtype=jnp.int32)[None, :] * (
+        pad_ws[lvl_idx][:, None]
+    )  # (K, WIN_Y)
 
-    # sample coordinates: for bin q and sample i: start + (q + (i+.5)/S) * bin
-    grid = (
-        jnp.arange(p, dtype=jnp.float32)[:, None]
-        + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s
-    ).reshape(-1)  # (P*S,)
-    ys = y1[:, None] + grid[None, :] * bin_h[:, None]  # (K, P*S)
-    xs = x1[:, None] + grid[None, :] * bin_w[:, None]  # (K, P*S)
+    def pool_chunk(args):
+        starts_i, wy_i, wx_i = args
+        n_i = starts_i.shape[0]
+        win = _gather_windows(flat, starts_i.reshape(-1), WIN_X)
+        win = win.reshape(n_i, WIN_Y, WIN_X, c)
+        return _pool_from_windows(win, wy_i, wx_i, features[0].dtype)
 
-    samples = _bilinear_gather(
-        flat, ys, xs, box_h, box_w, box_off
-    )  # (K, P*S, P*S, C)
-    k = boxes.shape[0]
-    samples = samples.reshape(k, p, s, p, s, c)
-    return jnp.mean(samples, axis=(2, 4))  # (K, P, P, C)
+    if box_chunk is None:
+        box_chunk = k if k <= 64 else 32
+    if box_chunk >= k:
+        pooled = pool_chunk((row_starts, wy, wx))
+    else:
+        n_pad = (-k) % box_chunk
+        starts_p = jnp.pad(row_starts, ((0, n_pad), (0, 0)))
+        wy_p = jnp.pad(wy, ((0, n_pad), (0, 0), (0, 0)))
+        wx_p = jnp.pad(wx, ((0, n_pad), (0, 0), (0, 0)))
+        n_chunks = (k + n_pad) // box_chunk
+        pooled = jax.lax.map(
+            pool_chunk,
+            (
+                starts_p.reshape(n_chunks, box_chunk, WIN_Y),
+                wy_p.reshape(n_chunks, box_chunk, p, WIN_Y),
+                wx_p.reshape(n_chunks, box_chunk, p, WIN_X),
+            ),
+        ).reshape(-1, p, p, c)[:k]
+
+    return apply_oow_fallback(
+        pooled, oow, features, boxes, lvl_idx, strides, p, sampling_ratio,
+        fallback_capacity,
+    )
 
 
 def single_level_roi_align(
@@ -230,7 +427,7 @@ def single_level_roi_align(
     boxes: Array,  # (K, 4) in input-image coords
     stride: int,
     output_size: int = 7,
-    sampling_ratio: int = 2,
+    sampling_ratio: int = 0,
 ) -> Array:
     """RoIAlignV2 on one feature map (reference ``layers/roi_align.py:50``)."""
     return multilevel_roi_align(

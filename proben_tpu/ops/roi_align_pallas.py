@@ -1,79 +1,54 @@
 """Pallas TPU kernel for multi-level RoIAlign.
 
 Why: the pure-XLA gather formulation (ops/roi_align.py) is the hottest op of
-the whole detector — profiling shows the corner gathers at ~30 ms/batch
-(docs/PERF.md), running far below HBM bandwidth because row-gathers hit the
-slow scalar-index path with (8, 128)-tile overfetch. This kernel restructures
-the op around sequential DMA + MXU:
+the whole detector — profiling showed row-gathers at ~30 ms/batch in round 1
+(docs/PERF.md), far below HBM bandwidth on the scalar-index path. This kernel
+restructures the op around sequential DMA + MXU:
 
-  per RoI: DMA one static (WIN, WIN, C) window of its FPN level into VMEM,
-  then interpolate all P*P*S*S samples with two small separable matmuls
-    t1[j, x, c]  = sum_y Wy[j, y]  * win[y, x, c]      (y-interpolation)
-    out[a, j, c] = sum_x Wx[a, x]  * t1[j, x, c]       (x-interpolation)
-  and average the SxS samples per bin.
+  per RoI: DMA one static (WIN_Y, WIN_X, C) window of its FPN level into
+  VMEM, then pool with two small separable matmuls
+    t1[p, x, c]  = sum_y Wy[p, y] * win[y, x, c]      (y interp + averaging)
+    out[p, q, c] = sum_x Wx[q, x] * t1[p, x, c]       (x interp + averaging)
 
-The interpolation weight matrices (K, S*P, WIN) are built host-side in
-vectorized jnp, reusing the exact ROIAlignV2 border semantics (outside-zero,
-border clamp) — the kernel itself stays trivial and correctness-critical
-logic stays in tested python.
+The per-RoI weight matrices (K, P, WIN) come from the SAME builder as the
+XLA path (``ops/roi_align.build_window_weights``) — exact ROIAlignV2 border
+semantics, and exact ADAPTIVE sampling (``sampling_ratio=0``, the reference
+default `detectron2/config/defaults.py:290`): the grid count only changes the
+weights, never the kernel shapes. Bilinear sampling + in-bin averaging are
+fully folded, so the matmuls are P=7 rows regardless of sampling ratio
+(round 1 used P*S=14 rows plus an outer mean).
 
-Window coverage: 48x(56-aligned) feature px covers every box the FPN level assignment
-can produce at <=1333 px inputs with aspect ratio <= 2 (long side <= 28*sqrt2
-~ 40 at its level; level-5-clamped boxes <= 1333/32 ~ 42). Pathologically
-elongated regression outputs whose sample span exceeds the window have their
-samples clamped into it (documented approximation; such boxes are garbage
-predictions in practice).
+Out-of-window RoIs (sample span or adaptive grid beyond the static window —
+pathologically elongated boxes) are detected during weight construction and
+re-pooled EXACTLY against their full level map via the shared whole-map
+fallback (``ops/roi_align.apply_oow_fallback``), capacity-bounded; round 1
+silently clamped their samples into the window.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .roi_align import roi_level_assignment
+from .roi_align import (
+    WIN_X,
+    WIN_Y,
+    apply_oow_fallback,
+    build_window_weights,
+    pad_level,
+    roi_level_assignment,
+)
 
 Array = jnp.ndarray
 
 
 def feats_dtype_size(dtype) -> int:
     return jnp.dtype(dtype).itemsize
-
-# static feature-space window: 48 rows x 56 cols. The x (W) dimension is the
-# sublane-tiled dim of the HBM layout, so its DMA offset must be 8-aligned —
-# the origin is aligned down to 16 (the bf16 sublane tile; losing up to 15 px)
-# and the window widened to 64.
-WIN_Y = 56
-WIN_X = 64
-
-
-def _interp_weights(
-    coords: Array,  # (K, S) sample coords in feature space (absolute)
-    win_start: Array,  # (K,) int32 window origin
-    dim_size: Array,  # (K,) level H or W per RoI
-    win: int,
-) -> Array:
-    """(K, S, win) bilinear row weights with ROIAlignV2 border semantics."""
-    k, s = coords.shape
-    valid = (coords >= -1.0) & (coords <= dim_size[:, None].astype(coords.dtype))
-    c = jnp.clip(coords, 0.0, dim_size[:, None].astype(coords.dtype) - 1.0)
-    c0 = jnp.floor(c)
-    frac = c - c0
-    # border clamp: hi index out of range -> weight moves to lo
-    hi_oob = c0 + 1 > dim_size[:, None].astype(coords.dtype) - 1
-    frac = jnp.where(hi_oob, 0.0, frac)
-    lo = c0.astype(jnp.int32) - win_start[:, None]  # window-relative
-    lo = jnp.clip(lo, 0, win - 1)
-    hi = jnp.clip(lo + 1, 0, win - 1)
-    cols = jnp.arange(win, dtype=jnp.int32)
-    w_lo = (cols[None, None, :] == lo[:, :, None]) * (1.0 - frac)[:, :, None]
-    w_hi = (cols[None, None, :] == hi[:, :, None]) * frac[:, :, None]
-    w = (w_lo + w_hi) * valid[:, :, None]
-    return w.astype(jnp.float32)
 
 
 def _kernel(
@@ -84,20 +59,20 @@ def _kernel(
     y0_ref,  # (N,) window origin rows
     x0_ref,  # (N,) window origin cols
     # inputs
-    wy_ref,  # (1, SP, WIN) y weights for this roi
-    wx_ref,  # (1, SP, WIN) x weights
+    wy_ref,  # (1, P, WIN_Y) y weights for this roi
+    wx_ref,  # (1, P, WIN_X) x weights
     f0_ref, f1_ref, f2_ref, f3_ref,  # level features (B, H_l, W_l, C) in ANY
     # output
-    out_ref,  # (1, SP, SP, C)
+    out_ref,  # (1, P, P, C)
     # scratch
-    win_ref,  # (WIN, WIN*C) VMEM — window rows flattened
+    win_ref,  # (nslot, WIN_Y, WIN_X, C) VMEM
     sem,
 ):
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
     c = out_ref.shape[-1]
-    sp = out_ref.shape[1]
+    p = out_ref.shape[1]
 
     def start_dma(roi, slot):
         """Kick off the window DMA for RoI ``roi`` into buffer ``slot``."""
@@ -149,21 +124,21 @@ def _kernel(
     pltpu.make_async_copy(win_ref.at[slot], win_ref.at[slot], sem.at[slot]).wait()
 
     window = win_ref[slot].reshape(WIN_Y, WIN_X * c)  # (WIN_Y, WIN_X*C)
-    wy = wy_ref[0]  # (SP, WIN)
-    wx = wx_ref[0]  # (SP, WIN)
+    wy = wy_ref[0]  # (P, WIN_Y)
+    wx = wx_ref[0]  # (P, WIN_X)
 
-    # y-pass: (SP, WIN) @ (WIN, WIN*C) -> (SP, WIN*C); f32 accumulation
+    # y-pass: (P, WIN_Y) @ (WIN_Y, WIN_X*C) -> (P, WIN_X*C); f32 accumulation
     t1 = jnp.dot(
         wy.astype(window.dtype), window, preferred_element_type=jnp.float32
-    ).reshape(sp, WIN_X, c)
-    # x-pass: contract WIN: (SP, WIN) x (SP, WIN, C) -> (SP_x, SP_y, C)
+    ).reshape(p, WIN_X, c)
+    # x-pass: contract WIN_X: (P, WIN_X) x (P, WIN_X, C) -> (Px, Py, C)
     t2 = jax.lax.dot_general(
-        wx,
+        wx.astype(t1.dtype),
         t1,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (SPx, SPy, C)
-    out_ref[0] = jnp.transpose(t2, (1, 0, 2)).astype(out_ref.dtype)  # (SPy, SPx, C)
+    )  # (Px, Py, C)
+    out_ref[0] = jnp.transpose(t2, (1, 0, 2)).astype(out_ref.dtype)  # (Py, Px, C)
 
 
 def multilevel_roi_align_pallas(
@@ -171,11 +146,13 @@ def multilevel_roi_align_pallas(
     boxes: Array,  # (B, K, 4) XYXY image coords
     strides: Sequence[int],
     output_size: int = 7,
-    sampling_ratio: int = 2,
+    sampling_ratio: int = 0,
     min_level: int = 2,
     canonical_box_size: float = 224.0,
     canonical_level: int = 4,
-    interpret: bool = None,
+    s_max: int = 16,
+    fallback_capacity: int = 32,
+    interpret: Optional[bool] = None,
 ) -> Array:
     """Batched multi-level RoIAlignV2. Returns (B, K, P, P, C)."""
     # pipeline depth bounded by VMEM: bf16 windows allow 4 slots, f32 only 2
@@ -186,59 +163,25 @@ def multilevel_roi_align_pallas(
     assert len(features) == 4, "kernel is specialized to 4 FPN levels"
     b, k, _ = boxes.shape
     c = features[0].shape[-1]
-    p, s = output_size, sampling_ratio
-    sp = p * s
+    p = output_size
     n = b * k
 
-    # pad small levels so the window always fits (W stays a multiple of 16)
-    feats = []
-    for f in features:
-        pad_h = max(0, WIN_Y - f.shape[1])
-        target_w = max(f.shape[2], WIN_X)
-        target_w = ((target_w + 15) // 16) * 16  # keep right-edge origins aligned
-        pad_w = target_w - f.shape[2]
-        if pad_h or pad_w:
-            f = jnp.pad(f, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        feats.append(f)
-    pad_ws = jnp.array([f.shape[2] for f in feats], jnp.int32)
-    pad_hs = jnp.array([f.shape[1] for f in feats], jnp.int32)
-
+    feats = [pad_level(f) for f in features]
     heights = jnp.array([f.shape[1] for f in features], jnp.int32)
     widths = jnp.array([f.shape[2] for f in features], jnp.int32)
-    inv_strides = jnp.array([1.0 / st for st in strides], jnp.float32)
+    pad_hs = jnp.array([f.shape[1] for f in feats], jnp.int32)
+    pad_ws = jnp.array([f.shape[2] for f in feats], jnp.int32)
 
     flat_boxes = boxes.reshape(n, 4)
     levels = roi_level_assignment(
         flat_boxes, min_level, min_level + 3, canonical_box_size, canonical_level
     )
     lvl_idx = levels - min_level
-    h_l = heights[lvl_idx]
-    w_l = widths[lvl_idx]
-    scale = inv_strides[lvl_idx]
 
-    x1 = flat_boxes[:, 0] * scale - 0.5
-    y1 = flat_boxes[:, 1] * scale - 0.5
-    bin_w = (flat_boxes[:, 2] * scale - 0.5 - x1) / p
-    bin_h = (flat_boxes[:, 3] * scale - 0.5 - y1) / p
-    grid = (
-        jnp.arange(p, dtype=jnp.float32)[:, None]
-        + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s
-    ).reshape(-1)
-    ys = y1[:, None] + grid[None, :] * bin_h[:, None]  # (N, SP)
-    xs = x1[:, None] + grid[None, :] * bin_w[:, None]
-
-    # window origin: cover the clamped sample span; x aligned to 8 for DMA
-    def origin(coords, dim, pad_dim, win, align=1):
-        first = jnp.clip(coords[:, 0], 0.0, dim.astype(jnp.float32) - 1.0)
-        start = jnp.floor(first).astype(jnp.int32)
-        start = (start // align) * align
-        return jnp.clip(start, 0, pad_dim - win)
-
-    y0w = origin(ys, h_l, pad_hs[lvl_idx], WIN_Y)
-    x0w = origin(xs, w_l, pad_ws[lvl_idx], WIN_X, align=16)
-
-    wy = _interp_weights(ys, y0w, h_l, WIN_Y)  # (N, SP, WIN_Y)
-    wx = _interp_weights(xs, x0w, w_l, WIN_X)
+    y0w, x0w, wy, wx, oow = build_window_weights(
+        flat_boxes, lvl_idx, strides, heights, widths, pad_hs, pad_ws,
+        p, sampling_ratio, s_max,
+    )
 
     img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
 
@@ -246,26 +189,41 @@ def multilevel_roi_align_pallas(
         num_scalar_prefetch=4,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, sp, WIN_Y), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, sp, WIN_X), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, p, WIN_Y), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, p, WIN_X), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, sp, sp, c), lambda i, *_: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((nslot, WIN_Y, WIN_X, c), feats[0].dtype),
             pltpu.SemaphoreType.DMA((nslot,)),
         ],
     )
 
-    samples = pl.pallas_call(
+    pooled = pl.pallas_call(
         functools.partial(_kernel, nslot),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, sp, sp, c), features[0].dtype),
+        out_shape=jax.ShapeDtypeStruct((n, p, p, c), features[0].dtype),
         interpret=interpret,
     )(img_idx, lvl_idx, y0w, x0w, wy, wx, *feats)
 
-    out = samples.reshape(b, k, p, s, p, s, c).mean(axis=(3, 5))
-    return out
+    pooled = pooled.reshape(b, k, p, p, c)
+
+    if fallback_capacity > 0:
+        def fb(pooled_i, oow_i, boxes_i, lvl_i, feats_i):
+            return apply_oow_fallback(
+                pooled_i, oow_i, feats_i, boxes_i, lvl_i, strides, p,
+                sampling_ratio, fallback_capacity,
+            )
+
+        pooled = jax.vmap(fb, in_axes=(0, 0, 0, 0, 0))(
+            pooled,
+            oow.reshape(b, k),
+            boxes,
+            lvl_idx.reshape(b, k),
+            list(features),
+        )
+    return pooled
