@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.rcnn import ModelConfig, rcnn_inference
+from ..models.rcnn import ModelConfig, rcnn_inference, rcnn_inference_given_boxes
 from ..structures.detections import Detections
 
 Array = jnp.ndarray
@@ -47,6 +47,16 @@ class Predictor:
             return det
 
         self._infer = jax.jit(infer)
+        self._rescore = jax.jit(
+            lambda p, im, bx: rcnn_inference_given_boxes(p, model_cfg, im, bx)
+        )
+
+    def rescore_boxes(self, images: Array, boxes: Array):
+        """Box-head scores for GIVEN boxes in the model-input frame
+        (reference ``GeneralizedRCNN.inference(..., detected_instances)``).
+        images (N, H, W, C) raw; boxes (N, K, 4). Returns (probs, logits,
+        variance) — probs (N, K, C+1) incl. background last."""
+        return self._rescore(self.params, images, boxes)
 
     def predict_batch(self, batch: Dict) -> List[Dict[str, np.ndarray]]:
         """batch from data loaders. Returns per-image dicts of numpy arrays

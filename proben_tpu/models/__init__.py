@@ -5,6 +5,7 @@ from .rcnn import (
     init_rcnn,
     postprocess_boxes,
     rcnn_inference,
+    rcnn_inference_given_boxes,
     rcnn_train_losses,
 )
 from .roi_heads import ROIHeadsConfig
@@ -19,5 +20,6 @@ __all__ = [
     "init_rcnn",
     "postprocess_boxes",
     "rcnn_inference",
+    "rcnn_inference_given_boxes",
     "rcnn_train_losses",
 ]

@@ -37,6 +37,7 @@ from .fpn import FPN_STRIDES, apply_fpn, init_fpn
 from .resnet import STAGE_OUT_CHANNELS, apply_resnet, init_resnet
 from .roi_heads import (
     ROIHeadsConfig,
+    pool_box_features,
     roi_heads_forward_inference,
     roi_heads_forward_train,
 )
@@ -279,6 +280,36 @@ def rcnn_inference(
         )
 
     return jax.vmap(per_image)(logits, deltas, image_sizes, roi_feats)
+
+
+def rcnn_inference_given_boxes(
+    params: Dict,
+    cfg: ModelConfig,
+    images: Array,  # (N, H, W, C) raw 0..255
+    boxes: Array,  # (N, K, 4) XYXY in the model-input frame
+) -> Tuple[Array, Array, Optional[Array]]:
+    """Re-run the box head on GIVEN boxes — the reference's
+    ``GeneralizedRCNN.inference(..., detected_instances)`` /
+    ``roi_heads.forward_with_given_boxes`` path (`rcnn.py:219-266`,
+    `roi_heads.py:595-631`), used by TTA to score merged boxes.
+
+    Returns (probs (N, K, C+1) softmax incl. background, class_logits
+    (N, K, C+1), variance (N, K) or None). No NMS, no box regression applied.
+    """
+    from .box_head import apply_box_head, apply_output_layers
+
+    x = preprocess(cfg, images)
+    features = extract_features(params, cfg, x, training=False)
+    roi_feats = [features[f] for f in ROI_IN_FEATURES]
+
+    def per_image(feats_i, boxes_i):
+        pooled = pool_box_features(feats_i, boxes_i, cfg.roi)
+        h = apply_box_head(params["roi"]["box_head"], pooled, dtype=cfg.dtype)
+        logits, _, variance = apply_output_layers(params["roi"]["output"], h)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return probs, logits.astype(jnp.float32), variance
+
+    return jax.vmap(per_image)(roi_feats, boxes)
 
 
 def rcnn_train_losses(

@@ -114,3 +114,34 @@ def test_perfect_predictor_gives_ap100(mini_dataset):
     results = inference_on_dataset(PerfectPredictor(dicts), loader, evaluator, warmup=0)
     np.testing.assert_allclose(results["bbox"]["AP"], 100.0)
     np.testing.assert_allclose(results["bbox"]["AP-car"], 100.0)
+
+
+def test_given_boxes_rescoring_real_model():
+    """rcnn_inference_given_boxes (reference detected_instances pathway) runs
+    through the real model and returns a softmax distribution per given box."""
+    import jax.numpy as jnp
+
+    from proben_tpu.models import rcnn_inference_given_boxes
+
+    cfg = build_config(
+        depth=50,
+        num_classes=3,
+        rpn=RPNConfig(pre_nms_topk_test=50, post_nms_topk_test=20),
+        rcnn=FastRCNNConfig(num_classes=3, topk_per_image=5, max_candidates=32),
+    )
+    params = init_rcnn(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 128, 160, 3).astype(np.float32) * 255)
+    boxes = jnp.asarray(
+        np.array(
+            [[[10, 10, 60, 50], [30, 20, 150, 120], [0, 0, 160, 128]]] * 2,
+            np.float32,
+        )
+    )
+    probs, logits, variance = jax.jit(
+        lambda p, im, bx: rcnn_inference_given_boxes(p, cfg, im, bx)
+    )(params, images, boxes)
+    assert probs.shape == (2, 3, cfg.roi.num_classes + 1)
+    assert logits.shape == probs.shape
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-5)
+    assert np.isfinite(np.asarray(probs)).all()

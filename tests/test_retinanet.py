@@ -131,3 +131,43 @@ def test_tta_merges_and_unflips():
     xs = np.sort(out["boxes"][:, 0])
     assert np.any(np.abs(xs - 10) < 1e-3)
     assert np.any(np.abs(xs - 250) < 1e-3)
+
+
+def test_tta_rescore_averages_probs():
+    """rescore=True replaces merged scores with the box-head class
+    probabilities averaged over augmented frames (reference
+    rerun-with-detected_instances pathway)."""
+    from proben_tpu.data.dataset_mapper import MapperConfig
+    from proben_tpu.models.tta import DetectionTTA
+
+    class FakePredictor:
+        def __init__(self):
+            self.calls = 0
+            self.seen_boxes = []
+
+        def predict_batch(self, batch):
+            return [{
+                "boxes": np.array([[10.0, 20.0, 50.0, 60.0]], np.float32),
+                "scores": np.array([0.9], np.float32),
+                "classes": np.array([1]), "image_id": 0,
+            }]
+
+        def rescore_boxes(self, images, boxes):
+            self.calls += 1
+            self.seen_boxes.append(np.asarray(boxes))
+            n, k = boxes.shape[0], boxes.shape[1]
+            p = np.zeros((n, k, 4), np.float32)  # 3 fg classes + background
+            p[..., 1] = 0.4 if self.calls == 1 else 0.8
+            return jnp.asarray(p), None, None
+
+    fp = FakePredictor()
+    mc = MapperConfig(pad_shape=(256, 320))
+    tta = DetectionTTA(fp, mc, scales=(128,), flip=True, rescore=True)
+    out = tta(np.zeros((200, 300, 3), np.float32))
+    assert fp.calls == 2  # one rescore pass per augmentation
+    np.testing.assert_allclose(out["scores"], 0.6, atol=1e-6)  # mean(0.4, 0.8)
+    # merged boxes were mapped into each augmented frame before rescoring:
+    # scale 128/200 = 0.64, and the flipped frame mirrors x
+    b0 = fp.seen_boxes[0][0, 0]
+    np.testing.assert_allclose(b0, [10 * 0.64, 20 * 0.64, 50 * 0.64, 60 * 0.64],
+                               atol=1e-4)
