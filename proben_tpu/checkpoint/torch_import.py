@@ -31,7 +31,12 @@ from ..models.layers import fold_batchnorm
 
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth (torch) or .pkl (pickle of numpy) checkpoint into a flat
-    {key: numpy array} dict; strips 'model.'/'module.' wrappers."""
+    {key: numpy array} dict; strips 'model.'/'module.' wrappers. Accepts
+    ``detectron2://``/``catalog://``/http URLs (resolved + cached via
+    checkpoint/paths.py, reference ``catalog.py:92-130`` PathHandlers)."""
+    from .paths import resolve_checkpoint_path
+
+    path = resolve_checkpoint_path(path)
     if path.endswith(".pkl"):
         with open(path, "rb") as f:
             data = pickle.load(f, encoding="latin1")

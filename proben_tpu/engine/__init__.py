@@ -6,6 +6,7 @@ from .hooks import (
     IterationTimer,
     PeriodicCheckpointer,
     PeriodicWriter,
+    PreciseBNHook,
 )
 from .predictor import Predictor
 from .train import TrainState, make_train_step
@@ -18,6 +19,7 @@ __all__ = [
     "IterationTimer",
     "PeriodicCheckpointer",
     "PeriodicWriter",
+    "PreciseBNHook",
     "Predictor",
     "TrainState",
     "make_train_step",

@@ -37,6 +37,7 @@ from .hooks import (
     LRLogger,
     PeriodicCheckpointer,
     PeriodicWriter,
+    PreciseBNHook,
 )
 from .predictor import Predictor
 from .train import TrainState, make_train_step
@@ -131,6 +132,19 @@ class DefaultTrainer:
             PeriodicWriter(writers, period=20),
             PeriodicCheckpointer(self.cfg.SOLVER.CHECKPOINT_PERIOD),
         ]
+        if self.cfg.TEST.PRECISE_BN.ENABLED:
+            # reference hook list order: PreciseBN runs before EvalHook
+            # (engine/defaults.py:300-342). stats_fn/apply_fn are None for
+            # FrozenBN models -> the hook self-disables like the reference.
+            hooks.append(
+                PreciseBNHook(
+                    max(self.cfg.TEST.EVAL_PERIOD, 1),
+                    self.train_loader,
+                    getattr(self, "bn_stats_fn", None),
+                    getattr(self, "bn_apply_fn", None),
+                    num_iters=self.cfg.TEST.PRECISE_BN.NUM_ITER,
+                )
+            )
         if self.cfg.TEST.EVAL_PERIOD > 0 and self.cfg.DATASETS.TEST:
             hooks.append(EvalHook(self.cfg.TEST.EVAL_PERIOD, lambda t: t.test(t.cfg, t.params)))
         return hooks

@@ -156,3 +156,53 @@ class LRLogger(HookBase):
 
     def after_step(self):
         self.trainer.storage.put_scalar("lr", float(self._schedule(self.trainer.iter)))
+
+
+class PreciseBNHook(HookBase):
+    """Recompute BatchNorm running statistics over ``num_iters`` training
+    batches before evaluation points (reference ``engine/hooks.py:358``
+    PreciseBN; stats math in ``models/batch_norm.precise_bn_stats``).
+
+    ``stats_fn(params, batch) -> {path: (batch_mean, batch_var)}`` is model-
+    provided because our models are functional (no module walk to hook). When
+    the model carries no live BN statistics — true for every FrozenBN ProbEn
+    config, exactly as in the reference where ``get_bn_modules(model)`` is
+    empty — the hook logs once and disables itself.
+    """
+
+    def __init__(self, period: int, data_iter, stats_fn, apply_fn,
+                 num_iters: int = 200):
+        self._period = period
+        self._data_iter = data_iter
+        self._stats_fn = stats_fn
+        self._apply_fn = apply_fn
+        self._num_iters = num_iters
+        self._disabled = stats_fn is None or apply_fn is None
+        if self._disabled:
+            logging.getLogger(__name__).info(
+                "PreciseBN disabled: model has no live BN statistics "
+                "(FrozenBN backbone), matching reference get_bn_modules()==[]"
+            )
+
+    def _update(self):
+        collected = []
+        for _ in range(self._num_iters):
+            batch = next(self._data_iter)
+            collected.append(self._stats_fn(self.trainer.state.params, batch))
+        from ..models.batch_norm import precise_bn_stats
+
+        # per BN site: average the per-batch (mean, var) pairs
+        paths = collected[0].keys()
+        stats = {
+            p: precise_bn_stats([c[p] for c in collected]) for p in paths
+        }
+        self.trainer.state.params = self._apply_fn(
+            self.trainer.state.params, stats
+        )
+
+    def after_step(self):
+        if self._disabled:
+            return
+        next_iter = self.trainer.iter + 1
+        if next_iter % self._period == 0 or next_iter >= self.trainer.max_iter:
+            self._update()

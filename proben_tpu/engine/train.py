@@ -44,16 +44,22 @@ def make_train_step(
     leading axis N). Both functions are jit/pjit friendly.
     """
 
+    # The optimizer only depends on the params TREE STRUCTURE (per-param lr
+    # factors are keyed on paths), so one instance serves init and step.
+    tx_cache = {}
+
+    def get_tx(params) -> optax.GradientTransformation:
+        if "tx" not in tx_cache:
+            tx_cache["tx"] = build_optimizer(solver_cfg, params, trainable_mask)
+        return tx_cache["tx"]
+
     def init_state(params, key) -> TrainState:
-        tx = build_optimizer(solver_cfg, params, trainable_mask)
         return TrainState(
             params=params,
-            opt_state=tx.init(params),
+            opt_state=get_tx(params).init(params),
             step=jnp.zeros((), jnp.int32),
             key=key,
         )
-
-    tx = None  # built lazily against params structure inside step
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, Array]]:
         step_key = jax.random.fold_in(state.key, state.step)
@@ -71,8 +77,9 @@ def make_train_step(
             return total, losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        opt = build_optimizer(solver_cfg, state.params, trainable_mask)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        updates, opt_state = get_tx(state.params).update(
+            grads, state.opt_state, state.params
+        )
         params = optax.apply_updates(state.params, updates)
 
         grads_finite = jnp.all(

@@ -197,3 +197,42 @@ def test_checkpoint_manager_best_and_periodic(tmp_path):
     assert int(restored["step"]) == 300
     best = mgr.restore_best({"w": np.zeros((2, 2))})
     np.testing.assert_allclose(np.asarray(best["w"]), 1.0)
+
+
+def test_url_scheme_resolution(tmp_path, monkeypatch):
+    """detectron2:// and catalog:// resolve through cache, then zoo mirror
+    (reference checkpoint/catalog.py:92-130 PathHandlers)."""
+    from proben_tpu.checkpoint import catalog_entry_url, resolve_checkpoint_path
+
+    # catalog name -> legacy caffe2 URL (reference ModelCatalog.get)
+    url = catalog_entry_url("ImageNetPretrained/MSRA/R-50.pkl")
+    assert url == "https://dl.fbaipublicfiles.com/detectron/ImageNetPretrained/MSRA/R-50.pkl"
+    url2 = catalog_entry_url("Caffe2Detectron/COCO/35857345/e2e_faster_rcnn_R-50-FPN_1x")
+    assert url2.endswith("/output/train/coco_2014_train%3Acoco_2014_valminusminival/generalized_rcnn/model_final.pkl")
+
+    cache = tmp_path / "cache"
+    zoo = tmp_path / "zoo"
+    zoo.mkdir()
+    monkeypatch.setenv("PROBEN_CACHE_DIR", str(cache))
+    monkeypatch.setenv("PROBEN_ZOO_DIR", str(zoo))
+
+    # cache hit: pre-place the file at the URL-path location
+    target = cache / "detectron2" / "COCO-Detection" / "x" / "model_final_1.pkl"
+    target.parent.mkdir(parents=True)
+    target.write_bytes(b"hi")
+    got = resolve_checkpoint_path("detectron2://COCO-Detection/x/model_final_1.pkl")
+    assert got == str(target)
+
+    # zoo-mirror hit by basename
+    (zoo / "R-50.pkl").write_bytes(b"zoo")
+    got = resolve_checkpoint_path("catalog://ImageNetPretrained/MSRA/R-50.pkl")
+    assert got == str(zoo / "R-50.pkl")
+
+    # offline miss -> actionable FileNotFoundError
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="PROBEN_ZOO_DIR"):
+        resolve_checkpoint_path("detectron2://COCO-Detection/missing/model.pkl")
+
+    # local paths pass through untouched
+    assert resolve_checkpoint_path("/some/local/file.pth") == "/some/local/file.pth"

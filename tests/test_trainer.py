@@ -70,3 +70,46 @@ def test_trainer_runs_and_checkpoints(tiny_ds, tmp_path):
     assert trainer2.start_iter == 3
     assert int(trainer2.state.step) == 3
     trainer2.train_loader.close()
+
+
+def test_precise_bn_hook_updates_stats_and_self_disables():
+    """PreciseBNHook (reference engine/hooks.py:358): with a stats_fn it
+    recomputes running stats via the law of total variance; without one
+    (FrozenBN models) it disables itself like reference get_bn_modules()==[]."""
+    import numpy as np
+
+    from proben_tpu.engine.hooks import PreciseBNHook
+
+    class FakeState:
+        params = {"bn": {"running_mean": np.zeros(2), "running_var": np.ones(2)}}
+
+    class FakeTrainer:
+        state = FakeState()
+        iter = 9
+        max_iter = 100
+
+    batches = iter(
+        [{"x": np.full((4, 2), float(i))} for i in range(100)]
+    )
+
+    def stats_fn(params, batch):
+        x = batch["x"]
+        return {"bn": (x.mean(0), x.var(0))}
+
+    def apply_fn(params, stats):
+        m, v = stats["bn"]
+        return {"bn": {"running_mean": m, "running_var": v}}
+
+    hook = PreciseBNHook(period=10, data_iter=batches, stats_fn=stats_fn,
+                         apply_fn=apply_fn, num_iters=3)
+    hook.trainer = FakeTrainer()
+    hook.after_step()
+    got = hook.trainer.state.params["bn"]
+    # batches 0,1,2: means 0,1,2 -> mean 1; within-var 0; between-var 2/3
+    np.testing.assert_allclose(np.asarray(got["running_mean"]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["running_var"]), 2.0 / 3.0, atol=1e-6)
+
+    disabled = PreciseBNHook(period=10, data_iter=batches, stats_fn=None,
+                             apply_fn=None, num_iters=3)
+    disabled.trainer = FakeTrainer()
+    disabled.after_step()  # no-op, no crash
