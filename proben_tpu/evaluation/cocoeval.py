@@ -162,6 +162,12 @@ class COCOEvaluator:
 
     # -- accumulate ---------------------------------------------------------
 
+    def _imgs_for_cat(self, cat):
+        """Images on which category ``cat`` is evaluable. COCO: all images;
+        LVIS overrides this with the federated pos/neg sets (detections on
+        other images are ignored entirely)."""
+        return self.img_ids
+
     def evaluate(self, detections: Sequence[dict]) -> Dict[str, float]:
         p = self.p
         dts = defaultdict(list)
@@ -176,6 +182,7 @@ class COCOEvaluator:
 
         max_det_cap = p.max_dets[-1]
         for ki, cat in enumerate(self.cat_ids):
+            cat_imgs = self._imgs_for_cat(cat)
             for ai, arng in enumerate(p.area_rng):
                 # evaluate every image once per (cat, area) at the largest cap;
                 # smaller maxDets re-slice the per-image results
@@ -183,7 +190,7 @@ class COCOEvaluator:
                     self._evaluate_img(
                         dts[(img, cat)], self._gts[(img, cat)], arng, max_det_cap
                     )
-                    for img in self.img_ids
+                    for img in cat_imgs
                 ]
                 per_img = [e for e in per_img if e is not None]
                 if not per_img:

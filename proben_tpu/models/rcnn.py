@@ -329,7 +329,11 @@ def rcnn_train_losses(
     anchors = _anchors_for(features)
     keys = jax.random.split(key, (n, 2))
 
-    def per_image(logits_i, deltas_i, size_i, feats_i, gt_i, keys_i):
+    from .box_head import apply_box_head, apply_output_layers
+    from .fast_rcnn import fast_rcnn_losses
+    from .roi_heads import label_and_sample_proposals
+
+    def per_image(logits_i, deltas_i, size_i, gt_i, keys_i):
         losses = rpn_losses(
             logits_i, deltas_i, anchors, gt_i.boxes, gt_i.valid, keys_i[0], cfg.rpn
         )
@@ -344,18 +348,55 @@ def rcnn_train_losses(
             cfg.rpn.nms_thresh,
             cfg.rpn.min_box_side_len,
         )
-        det_losses = roi_heads_forward_train(
-            params["roi"], feats_i, boxes, valid, gt_i, keys_i[1], cfg.roi, cfg.rcnn,
-            dtype=cfg.dtype,
-        )
-        losses.update(det_losses)
-        return losses
+        sampled = label_and_sample_proposals(boxes, valid, gt_i, keys_i[1], cfg.roi)
+        return losses, sampled
 
     roi_feats = [features[f] for f in ROI_IN_FEATURES]
-    per_image_losses = jax.vmap(per_image)(
-        logits, deltas, image_sizes, roi_feats, gt, keys
+    losses_b, (s_boxes, gt_classes, gt_boxes, s_valid, _) = jax.vmap(per_image)(
+        logits, deltas, image_sizes, gt, keys
     )
+
+    # pooling runs BATCHED outside the per-image vmap so the Pallas
+    # windowed-DMA kernel (one grid over all B*S RoIs) can serve training;
+    # its backward is the shared scatter-free whole-map matmul VJP
+    pooled = pool_box_features_batched(roi_feats, s_boxes, cfg)
+
+    def per_image_head(pooled_i, boxes_i, gt_classes_i, s_valid_i, gt_boxes_i):
+        x = apply_box_head(params["roi"]["box_head"], pooled_i, dtype=cfg.dtype)
+        logits_h, deltas_h, variance = apply_output_layers(params["roi"]["output"], x)
+        return fast_rcnn_losses(
+            logits_h, deltas_h, variance, boxes_i, gt_classes_i, s_valid_i,
+            gt_boxes_i, cfg.rcnn,
+        )
+
+    det_losses = jax.vmap(per_image_head)(pooled, s_boxes, gt_classes, s_valid, gt_boxes)
+    per_image_losses = dict(losses_b)
+    per_image_losses.update(det_losses)
     return {k: jnp.mean(v) for k, v in per_image_losses.items()}
+
+
+def pool_box_features_batched(features, boxes, cfg: "ModelConfig") -> Array:
+    """(L)(B, H, W, C) x (B, K, 4) -> (B, K, P, P, C). Dispatches to the
+    Pallas windowed-DMA kernel on TPU (cfg.roi_align_impl == "pallas"),
+    otherwise to the per-image XLA window path — both with the scatter-free
+    whole-map matmul backward."""
+    if (
+        cfg.roi_align_impl == "pallas"
+        and len(features) == 4
+        and jax.default_backend() == "tpu"
+    ):
+        from ..ops.roi_align_pallas import multilevel_roi_align_pallas_train
+
+        return multilevel_roi_align_pallas_train(
+            list(features), boxes, tuple(cfg.roi.in_strides),
+            cfg.roi.pooler_resolution, cfg.roi.pooler_sampling_ratio, 2,
+            cfg.roi.canonical_box_size, cfg.roi.canonical_level,
+        )
+    from .roi_heads import pool_box_features
+
+    return jax.vmap(lambda fs, bx: pool_box_features(fs, bx, cfg.roi))(
+        list(features), boxes
+    )
 
 
 def postprocess_boxes(

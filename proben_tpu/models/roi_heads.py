@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.matcher import match
-from ..ops.roi_align import multilevel_roi_align, roi_level_assignment
+from ..ops.roi_align import multilevel_roi_align_train, roi_level_assignment
 from ..ops.sampling import sample_topk_indices
 from ..structures.boxes import pairwise_iou
 from ..structures.detections import Detections, GroundTruth
@@ -92,22 +92,15 @@ def pool_box_features(
     cfg: ROIHeadsConfig,
 ) -> Array:
     """(K, P, P, C) pooled features (reference ``poolers.py`` + RoIAlign)."""
-    min_level = 2
-    levels = roi_level_assignment(
+    return multilevel_roi_align_train(
+        list(features),
         boxes,
-        min_level,
-        min_level + len(features) - 1,
+        tuple(cfg.in_strides),
+        cfg.pooler_resolution,
+        cfg.pooler_sampling_ratio,
+        2,  # min_level
         cfg.canonical_box_size,
         cfg.canonical_level,
-    )
-    return multilevel_roi_align(
-        features,
-        boxes,
-        cfg.in_strides,
-        output_size=cfg.pooler_resolution,
-        sampling_ratio=cfg.pooler_sampling_ratio,
-        min_level=min_level,
-        levels=levels,
     )
 
 

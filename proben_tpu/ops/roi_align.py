@@ -422,6 +422,147 @@ def multilevel_roi_align(
     )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+def multilevel_roi_align_train(
+    features,  # list of (H_l, W_l, C)
+    boxes,  # (K, 4)
+    strides: Tuple[int, ...],
+    output_size: int = 7,
+    sampling_ratio: int = 0,
+    min_level: int = 2,
+    canonical_box_size: float = 224.0,
+    canonical_level: int = 4,
+    s_max: int = 16,
+    fallback_capacity: int = 32,
+    box_chunk: Optional[int] = None,
+) -> Array:
+    """``multilevel_roi_align`` with a SCATTER-FREE training backward.
+
+    The native backward of the windowed path is a scatter-add over window
+    rows — measured ~390 ms of a 640 ms train step at batch 8 on v5e (TPU
+    scatters run far below HBM bandwidth). This custom VJP instead computes
+
+        dF_l = sum_k 1[lvl_k = l] * WyG_k^T @ dOut_k @ WxG_k
+
+    with WHOLE-MAP weight matrices, evaluated as two chunked MXU matmuls per
+    level with an f32 accumulator — no scatter anywhere. It is the exact
+    gradient of exact adaptive RoIAlign (the forward's rare beyond-capacity
+    window-clamped RoIs differ infinitesimally; proposals are stop-gradient
+    upstream so no box cotangent exists).
+    """
+    return multilevel_roi_align(
+        features, boxes, list(strides), output_size, sampling_ratio,
+        min_level, canonical_box_size, canonical_level, None, s_max,
+        fallback_capacity, box_chunk,
+    )
+
+
+def _train_fwd(features, boxes, strides, output_size, sampling_ratio,
+               min_level, canonical_box_size, canonical_level, s_max,
+               fallback_capacity, box_chunk):
+    out = multilevel_roi_align_train(
+        features, boxes, strides, output_size, sampling_ratio, min_level,
+        canonical_box_size, canonical_level, s_max, fallback_capacity,
+        box_chunk,
+    )
+    return out, (features, boxes)
+
+
+def wholemap_roi_align_grad(features, boxes, g, strides, output_size,
+                            sampling_ratio, min_level, canonical_box_size,
+                            canonical_level, box_chunk=None):
+    """d(pooled)/d(features) cotangent as chunked transposed matmuls — the
+    scatter-free RoIAlign backward shared by the XLA and Pallas training
+    paths. features: list of (H_l, W_l, C); boxes (K, 4); g (K, P, P, C).
+    Returns per-level dF with the features' dtypes."""
+    p = output_size
+    k = boxes.shape[0]
+    num_levels = len(features)
+    levels = roi_level_assignment(
+        boxes, min_level, min_level + num_levels - 1,
+        canonical_box_size, canonical_level,
+    )
+    lvl_idx = levels - min_level
+    y1, x1, bin_h, bin_w = _roi_geometry(boxes, lvl_idx, strides, p)
+
+    ch = min(k, box_chunk or 64)
+    n_pad = (-k) % ch
+    n_chunks = (k + n_pad) // ch
+
+    def padded(a, fill=0.0):
+        cfg = [(0, n_pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, cfg, constant_values=fill)
+
+    g_p = padded(g).reshape(n_chunks, ch, p, p, -1)
+    y1_p = padded(y1).reshape(n_chunks, ch)
+    x1_p = padded(x1).reshape(n_chunks, ch)
+    bh_p = padded(bin_h).reshape(n_chunks, ch)
+    bw_p = padded(bin_w).reshape(n_chunks, ch)
+    lvl_p = padded(lvl_idx, fill=-1).reshape(n_chunks, ch)
+
+    dfs = []
+    for li, f in enumerate(features):
+        h, w, c = f.shape
+        s_hi_y = max(sampling_ratio, -(-h // p) + 2)
+        s_hi_x = max(sampling_ratio, -(-w // p) + 2)
+
+        def body(i, acc, li=li, h=h, w=w, c=c, s_hi_y=s_hi_y, s_hi_x=s_hi_x):
+            gc = jax.lax.dynamic_index_in_dim(g_p, i, keepdims=False)
+            y1c = jax.lax.dynamic_index_in_dim(y1_p, i, keepdims=False)
+            x1c = jax.lax.dynamic_index_in_dim(x1_p, i, keepdims=False)
+            bhc = jax.lax.dynamic_index_in_dim(bh_p, i, keepdims=False)
+            bwc = jax.lax.dynamic_index_in_dim(bw_p, i, keepdims=False)
+            lc = jax.lax.dynamic_index_in_dim(lvl_p, i, keepdims=False)
+            zero = jnp.zeros((ch,), jnp.int32)
+            wyg, _ = axis_weights(
+                y1c, bhc, jnp.full((ch,), h, jnp.int32), zero, h, p,
+                sampling_ratio, s_hi_y,
+            )
+            wxg, _ = axis_weights(
+                x1c, bwc, jnp.full((ch,), w, jnp.int32), zero, w, p,
+                sampling_ratio, s_hi_x,
+            )
+            mask = (lc == li).astype(jnp.float32)
+            wyg = wyg * mask[:, None, None]
+            dt = f.dtype
+            # u[k, p, w, c] = sum_q g[k, p, q, c] * wxg[k, q, w]
+            u = jax.lax.dot_general(
+                wxg.astype(dt), gc.astype(dt),
+                dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (ch, w, p, c)
+            u = jnp.transpose(u, (0, 2, 1, 3)).reshape(ch * p, w * c)
+            # dF += WyG^T @ u : (h, ch*p) @ (ch*p, w*c)
+            contrib = jax.lax.dot(
+                wyg.reshape(ch * p, h).T.astype(dt), u.astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            return acc + contrib
+
+        acc = jax.lax.fori_loop(
+            0, n_chunks, body, jnp.zeros((h, w * c), jnp.float32)
+        )
+        dfs.append(acc.reshape(h, w, c).astype(f.dtype))
+
+    if isinstance(features, (list, tuple)):
+        dfs = type(features)(dfs)
+    return dfs
+
+
+def _train_bwd(strides, output_size, sampling_ratio, min_level,
+               canonical_box_size, canonical_level, s_max, fallback_capacity,
+               box_chunk, res, g):
+    features, boxes = res
+    dfs = wholemap_roi_align_grad(
+        features, boxes, g, strides, output_size, sampling_ratio, min_level,
+        canonical_box_size, canonical_level, box_chunk,
+    )
+    return dfs, jnp.zeros_like(boxes)
+
+
+multilevel_roi_align_train.defvjp(_train_fwd, _train_bwd)
+
+
 def single_level_roi_align(
     feature: Array,  # (H, W, C)
     boxes: Array,  # (K, 4) in input-image coords

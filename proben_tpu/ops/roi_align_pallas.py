@@ -227,3 +227,60 @@ def multilevel_roi_align_pallas(
             list(features),
         )
     return pooled
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def multilevel_roi_align_pallas_train(
+    features,  # list of (B, H_l, W_l, C)
+    boxes,  # (B, K, 4)
+    strides,
+    output_size: int = 7,
+    sampling_ratio: int = 0,
+    min_level: int = 2,
+    canonical_box_size: float = 224.0,
+    canonical_level: int = 4,
+    s_max: int = 16,
+    fallback_capacity: int = 32,
+):
+    """Batched training pooling: Pallas windowed-DMA forward + the shared
+    SCATTER-FREE whole-map matmul backward (ops/roi_align.
+    wholemap_roi_align_grad). The forward gather path measured ~59 ms and its
+    native scatter backward ~390 ms of a 640 ms batch-8 train step; this
+    pairing runs the same math as two MXU matmul families."""
+    return multilevel_roi_align_pallas(
+        features, boxes, list(strides), output_size, sampling_ratio,
+        min_level, canonical_box_size, canonical_level, s_max,
+        fallback_capacity,
+    )
+
+
+def _pallas_train_fwd(features, boxes, strides, output_size, sampling_ratio,
+                      min_level, canonical_box_size, canonical_level, s_max,
+                      fallback_capacity):
+    out = multilevel_roi_align_pallas_train(
+        features, boxes, strides, output_size, sampling_ratio, min_level,
+        canonical_box_size, canonical_level, s_max, fallback_capacity,
+    )
+    return out, (features, boxes)
+
+
+def _pallas_train_bwd(strides, output_size, sampling_ratio, min_level,
+                      canonical_box_size, canonical_level, s_max,
+                      fallback_capacity, res, g):
+    from .roi_align import wholemap_roi_align_grad
+
+    features, boxes = res
+
+    def per_image(feats_i, boxes_i, g_i):
+        return wholemap_roi_align_grad(
+            list(feats_i), boxes_i, g_i, strides, output_size,
+            sampling_ratio, min_level, canonical_box_size, canonical_level,
+        )
+
+    dfs = jax.vmap(per_image)(list(features), boxes, g)
+    if isinstance(features, tuple):
+        dfs = tuple(dfs)
+    return dfs, jnp.zeros_like(boxes)
+
+
+multilevel_roi_align_pallas_train.defvjp(_pallas_train_fwd, _pallas_train_bwd)
