@@ -64,10 +64,13 @@ class EvalParams:
 
 
 class COCOEvaluator:
-    """Detection-box mAP evaluator.
+    """Detection mAP evaluator (``iou_type`` "bbox" or "segm").
 
     ground_truth: list of dicts with keys image_id, category_id, bbox (XYWH),
     area (optional; defaults to w*h), iscrowd (optional), ignore (optional).
+    For iou_type="segm" both gts and detections carry "segmentation" (an RLE
+    dict from evaluation.rle) and areas default to the mask area, matching
+    the vendored ``cocoeval.py`` segm task.
     detections: dicts with image_id, category_id, bbox (XYWH), score.
     """
 
@@ -77,17 +80,28 @@ class COCOEvaluator:
         image_ids: Sequence,
         category_ids: Sequence,
         params: Optional[EvalParams] = None,
+        iou_type: str = "bbox",
     ):
+        if iou_type not in ("bbox", "segm"):
+            raise ValueError(f"iou_type {iou_type!r}")
         self.p = params or EvalParams()
+        self.iou_type = iou_type
         self.img_ids = list(image_ids)
         self.cat_ids = list(category_ids)
         self._gts = defaultdict(list)
         for g in ground_truth:
             g = dict(g)
-            g.setdefault("area", g["bbox"][2] * g["bbox"][3])
+            g.setdefault("area", self._area(g))
             g.setdefault("iscrowd", 0)
             g["ignore"] = g.get("ignore", 0) or g["iscrowd"]
             self._gts[(g["image_id"], g["category_id"])].append(g)
+
+    def _area(self, obj: dict) -> float:
+        if self.iou_type == "segm":
+            from . import rle
+
+            return float(rle.area(obj["segmentation"]))
+        return obj["bbox"][2] * obj["bbox"][3]
 
     # -- per-(image, category) matching ------------------------------------
 
@@ -114,9 +128,18 @@ class COCOEvaluator:
         dets = [dets[i] for i in d_order]
         dt_scores = np.array([d["score"] for d in dets])
 
-        gt_boxes = np.array([g["bbox"] for g in gts], float).reshape(-1, 4)
-        dt_boxes = np.array([d["bbox"] for d in dets], float).reshape(-1, 4)
-        ious = bbox_iou_xywh(dt_boxes, gt_boxes, iscrowd)
+        if self.iou_type == "segm":
+            from . import rle
+
+            ious = rle.iou(
+                [d["segmentation"] for d in dets],
+                [g["segmentation"] for g in gts],
+                iscrowd,
+            ) if dets and gts else np.zeros((len(dets), len(gts)))
+        else:
+            gt_boxes = np.array([g["bbox"] for g in gts], float).reshape(-1, 4)
+            dt_boxes = np.array([d["bbox"] for d in dets], float).reshape(-1, 4)
+            ious = bbox_iou_xywh(dt_boxes, gt_boxes, iscrowd)
 
         D, G = len(dets), len(gts)
         dtm = np.zeros((T, D), dtype=np.int64)  # 1 + matched gt index, 0 = unmatched
@@ -143,13 +166,9 @@ class COCOEvaluator:
                 gtm[ti, best_g] = di + 1
 
         # unmatched dets outside the area range are ignored
+        dt_areas = [self._area(d) for d in dets]
         dt_out = np.array(
-            [
-                d["bbox"][2] * d["bbox"][3] < area_rng[0]
-                or d["bbox"][2] * d["bbox"][3] > area_rng[1]
-                for d in dets
-            ],
-            bool,
+            [a < area_rng[0] or a > area_rng[1] for a in dt_areas], bool
         )
         dt_ignore = dt_ignore | ((dtm == 0) & dt_out[None, :])
         return {
