@@ -73,7 +73,29 @@ class CfgNode(dict):
             if not os.path.isabs(base):
                 base = os.path.join(os.path.dirname(path), base)
             self.merge_from_file(base)
-        self.merge_from_other(CfgNode(loaded))
+        loaded = CfgNode(loaded)
+
+        # VERSION migration (reference config.py merge_from_file + compat.py):
+        # downgrade defaults to the file's schema, merge, upgrade back
+        self_ver = self.get("VERSION")
+        if self_ver is not None:
+            from .compat import downgrade_config, guess_version, upgrade_config
+
+            loaded_ver = loaded.get("VERSION")
+            if loaded_ver is None:
+                loaded_ver = guess_version(loaded, path)
+            if loaded_ver > self_ver:
+                raise ValueError(
+                    f"config {path} is v{loaded_ver}, newer than runtime v{self_ver}"
+                )
+            if loaded_ver < self_ver:
+                old_self = downgrade_config(self, to_version=loaded_ver)
+                old_self.merge_from_other(loaded)
+                upgraded = upgrade_config(old_self, to_version=self_ver)
+                self.clear()
+                self.merge_from_other(upgraded)
+                return
+        self.merge_from_other(loaded)
 
     def merge_from_list(self, opts: Sequence):
         assert len(opts) % 2 == 0, f"override list must be key value pairs, got {opts}"

@@ -50,6 +50,7 @@ class Visualizer:
         classes: Optional[np.ndarray] = None,
         scores: Optional[np.ndarray] = None,
         thickness: int = 1,
+        assigned_colors: Optional[Sequence] = None,
     ) -> "Visualizer":
         cv2 = self._cv2
         if boxes is None or len(boxes) == 0:
@@ -64,7 +65,10 @@ class Visualizer:
                     text = f"{text} {scores[i] * 100:.0f}%".strip()
                 labels.append(text)
         for i, box in enumerate(boxes):
-            color = _color_for(int(classes[i]) if classes is not None else i)
+            if assigned_colors is not None:
+                color = tuple(int(v) for v in assigned_colors[i])
+            else:
+                color = _color_for(int(classes[i]) if classes is not None else i)
             x1, y1, x2, y2 = [int(round(v)) for v in box]
             cv2.rectangle(self.img, (x1, y1), (x2, y2), color, thickness)
             if labels[i]:
@@ -76,10 +80,14 @@ class Visualizer:
         return self
 
     def draw_masks(self, masks: np.ndarray, classes: Optional[np.ndarray] = None,
-                   alpha: float = 0.45) -> "Visualizer":
+                   alpha: float = 0.45,
+                   assigned_colors: Optional[Sequence] = None) -> "Visualizer":
         """Overlay (N, H, W) boolean masks with per-class colors."""
         for i, m in enumerate(np.asarray(masks)):
-            color = np.array(_color_for(int(classes[i]) if classes is not None else i))
+            if assigned_colors is not None:
+                color = np.asarray(assigned_colors[i], float)
+            else:
+                color = np.array(_color_for(int(classes[i]) if classes is not None else i))
             region = m.astype(bool)
             self.img[region] = (
                 (1 - alpha) * self.img[region] + alpha * color
@@ -116,3 +124,27 @@ class Visualizer:
 
     def save(self, path: str):
         self._cv2.imwrite(path, self.img)
+
+
+class PaperVisualizer(Visualizer):
+    """The reference's ``visualizer_paper.py`` fork: identical drawing with
+    FIXED per-class colors for the ProbEn paper figures (its only substantive
+    diff vs ``visualizer.py`` is the hardcoded class->color map and label
+    suppression)."""
+
+    # reference visualizer_paper.py:341-346 ({0,1,2} -> green/yellow/blue),
+    # expressed in this module's BGR convention
+    PAPER_COLORS = {0: (0, 255, 0), 1: (0, 255, 255), 2: (255, 0, 0)}
+
+    def overlay_instances(self, boxes=None, labels=None, classes=None,
+                          scores=None, thickness: int = 2,
+                          assigned_colors=None):
+        if assigned_colors is None and classes is not None:
+            assigned_colors = [
+                self.PAPER_COLORS.get(int(c), _color_for(int(c))) for c in classes
+            ]
+        if labels is None:
+            labels = [""] * (len(boxes) if boxes is not None else 0)
+        return super().overlay_instances(
+            boxes, labels, classes, scores, thickness, assigned_colors
+        )
