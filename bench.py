@@ -130,13 +130,17 @@ def bench_train():
             valid=jnp.asarray(np.ones((batch, g), bool)),
         ),
     }
-    step, state = make_train_step(mcfg, scfg, init_rcnn(jax.random.PRNGKey(0), mcfg))
-    state, metrics = step(state, data, jax.random.PRNGKey(1))
+    init_state, step = make_train_step(mcfg, scfg)
+    step = jax.jit(step)
+    state = init_state(
+        init_rcnn(jax.random.PRNGKey(0), mcfg), jax.random.PRNGKey(7)
+    )
+    state, metrics = step(state, data)
     np.asarray(metrics["total_loss"])  # compile + sync
     iters = 12
     t0 = time.time()
-    for i in range(iters):
-        state, metrics = step(state, data, jax.random.PRNGKey(2 + i))
+    for _ in range(iters):
+        state, metrics = step(state, data)
     np.asarray(metrics["total_loss"])
     dt = time.time() - t0
     img_s = batch * iters / dt

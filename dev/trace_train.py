@@ -29,13 +29,16 @@ data = {
         valid=jnp.asarray(np.ones((batch, g), bool)),
     ),
 }
-step, state = make_train_step(mcfg, scfg, init_rcnn(jax.random.PRNGKey(0), mcfg))
-state, metrics = step(state, data, jax.random.PRNGKey(1))
+init_state, step = make_train_step(mcfg, scfg)
+import jax as _j
+state = init_state(init_rcnn(jax.random.PRNGKey(0), mcfg), jax.random.PRNGKey(7))
+step = _j.jit(step)
+state, metrics = step(state, data)
 np.asarray(metrics["total_loss"])
 os.makedirs("/tmp/ttrace", exist_ok=True)
 with jax.profiler.trace("/tmp/ttrace"):
     for i in range(4):
-        state, metrics = step(state, data, jax.random.PRNGKey(2 + i))
+        state, metrics = step(state, data)
     np.asarray(metrics["total_loss"])
 f = sorted(glob.glob("/tmp/ttrace/**/*.trace.json.gz", recursive=True))[-1]
 ev = json.load(gzip.open(f))["traceEvents"]

@@ -132,6 +132,22 @@ def label_anchors(
     return labels.astype(jnp.int32), matched_gt
 
 
+def label_anchors_idx(
+    anchors: Array,  # (R, 4) all levels concatenated
+    gt_boxes: Array,  # (G, 4)
+    gt_valid: Array,  # (G,)
+    iou_thresholds: Tuple[float, float] = (0.3, 0.7),
+) -> Tuple[Array, Array]:
+    """``label_anchors`` without materializing the (R, 4) matched-box gather
+    (that gather alone cost 9.4 ms/step at 204k anchors x batch 8 — the loss
+    only reads the few sampled rows). Returns (labels, matched_idx)."""
+    iou = pairwise_iou(gt_boxes, anchors)  # (G, R)
+    matched_idx, labels = match(
+        iou, gt_valid, list(iou_thresholds), [0, -1, 1], allow_low_quality_matches=True
+    )
+    return labels.astype(jnp.int32), matched_idx
+
+
 def rpn_losses(
     logits: Sequence[Array],  # per level (HWA,) — single image
     deltas: Sequence[Array],  # per level (HWA, 4)
@@ -147,25 +163,35 @@ def rpn_losses(
     cat_deltas = jnp.concatenate(deltas, axis=0)
     cat_anchors = jnp.concatenate(anchors, axis=0)
 
-    labels, matched_gt = label_anchors(cat_anchors, gt_boxes, gt_valid, cfg.iou_thresholds)
+    labels, matched_idx = label_anchors_idx(
+        cat_anchors, gt_boxes, gt_valid, cfg.iou_thresholds
+    )
     # images with no valid gt: all anchors become background (matcher handles),
     # positives only exist when gt exists.
     labels = subsample_labels(labels, cfg.batch_size_per_image, cfg.positive_fraction, key)
 
-    pos = labels == 1
-    sampled = labels >= 0
     normalizer = float(cfg.batch_size_per_image)
 
+    # gather the <= batch_size_per_image sampled anchors, positives first —
+    # all target math then runs on ~256 rows instead of all 204k anchors
+    # (the full-anchor gather + delta encode + masked BCE cost ~15 ms/step)
+    ns = min(cfg.batch_size_per_image, int(labels.shape[0]))
+    _, sel = jax.lax.top_k(labels.astype(jnp.float32), ns)
+    sel_labels = labels[sel]
+    pos_s = sel_labels == 1
+    sampled_s = sel_labels >= 0
+
     # objectness: BCE with logits over sampled anchors
-    obj_targets = pos.astype(jnp.float32)
-    per_anchor = jnp.maximum(cat_logits, 0) - cat_logits * obj_targets + jnp.log1p(
-        jnp.exp(-jnp.abs(cat_logits))
+    sel_logits = cat_logits[sel]
+    obj_targets = pos_s.astype(jnp.float32)
+    per_anchor = jnp.maximum(sel_logits, 0) - sel_logits * obj_targets + jnp.log1p(
+        jnp.exp(-jnp.abs(sel_logits))
     )
-    loss_cls = jnp.sum(jnp.where(sampled, per_anchor, 0.0)) / normalizer
+    loss_cls = jnp.sum(jnp.where(sampled_s, per_anchor, 0.0)) / normalizer
 
     # localization: smooth-l1 (beta=0 -> pure L1) on positives
-    gt_deltas = get_deltas(cat_anchors, matched_gt)
-    diff = cat_deltas - gt_deltas
+    gt_deltas = get_deltas(cat_anchors[sel], gt_boxes[matched_idx[sel]])
+    diff = cat_deltas[sel] - gt_deltas
     if cfg.smooth_l1_beta > 0:
         ad = jnp.abs(diff)
         per_coord = jnp.where(
@@ -175,7 +201,7 @@ def rpn_losses(
         )
     else:
         per_coord = jnp.abs(diff)
-    loss_loc = jnp.sum(jnp.where(pos[:, None], per_coord, 0.0)) / normalizer
+    loss_loc = jnp.sum(jnp.where(pos_s[:, None], per_coord, 0.0)) / normalizer
 
     return {
         "loss_rpn_cls": loss_cls * cfg.loss_weight,

@@ -19,19 +19,16 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
-def _rank_within(mask: Array, key: jax.Array) -> Tuple[Array, Array]:
-    """Random rank of each element within the True subset of ``mask``.
-
-    Returns (rank (N,) int32 — 0-based among mask elements, count () int32).
-    Elements outside the mask get rank >= count.
-    """
+def _pick_random_subset(mask: Array, key: jax.Array, k_static: int, limit) -> Array:
+    """Keep-mask of ``limit`` (dynamic, <= k_static) uniformly random True
+    elements of ``mask``. Uses top_k of iid uniforms with a BOUNDED k — a full
+    argsort here cost ~20 ms/step at RPN anchor counts (204k x 8 images); the
+    partial top-k is the same uniform-subset distribution at O(N log k)."""
     n = mask.shape[0]
     rand = jax.random.uniform(key, (n,))
-    # masked elements sort first (by random value); others pushed to the end
-    sort_key = jnp.where(mask, rand, 2.0 + rand)
-    order = jnp.argsort(sort_key)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-    return rank, jnp.sum(mask.astype(jnp.int32))
+    vals, idx = jax.lax.top_k(jnp.where(mask, rand, -1.0), k_static)
+    sel = (jnp.arange(k_static) < limit) & (vals >= 0.0)
+    return jnp.zeros((n,), bool).at[idx].set(sel)
 
 
 def subsample_labels(
@@ -41,17 +38,19 @@ def subsample_labels(
     key: jax.Array,
 ) -> Array:
     """Returns labels with non-sampled entries set to -1 (shape-preserving)."""
+    labels = jax.lax.stop_gradient(labels)
     pos_mask = labels == 1
     neg_mask = labels == 0
     kp, kn = jax.random.split(key)
-    pos_rank, pos_count = _rank_within(pos_mask, kp)
-    neg_rank, neg_count = _rank_within(neg_mask, kn)
 
+    pos_count = jnp.sum(pos_mask.astype(jnp.int32))
+    neg_count = jnp.sum(neg_mask.astype(jnp.int32))
     num_pos = jnp.minimum(pos_count, int(num_samples * positive_fraction))
     num_neg = jnp.minimum(neg_count, num_samples - num_pos)
 
-    keep_pos = pos_mask & (pos_rank < num_pos)
-    keep_neg = neg_mask & (neg_rank < num_neg)
+    k = min(num_samples, labels.shape[0])
+    keep_pos = _pick_random_subset(pos_mask, kp, k, num_pos)
+    keep_neg = _pick_random_subset(neg_mask, kn, k, num_neg)
     return jnp.where(keep_pos, 1, jnp.where(keep_neg, 0, -1)).astype(jnp.int32)
 
 

@@ -92,7 +92,8 @@ def main():
         t0 = time.time()
         for _ in range(args.iters):
             state, m = step(state, data)
-            sync(m)
+        sync(m)  # steps chain through state; one fence avoids paying the
+        # ~33 ms tunnel RTT per iteration (docs/PERF.md)
         dt = time.time() - t0
         print(f"train: {dt / args.iters:.3f} s/iter, {batch * args.iters / dt:.2f} img/s")
     else:  # data
