@@ -45,14 +45,44 @@ def structured_images(rng, n, batch, h, w, c):
     return imgs
 
 
-def calibrate_heads(params, bg_bias=5.0, w_scale=60.0):
+def calibrate_heads(params, bg_bias=3.0, w_scale=0.02):
     """Make score distributions trained-like: dominant background with a
-    sparse fg tail above the 0.05 test threshold (random 0.01-std init gives
-    ~uniform softmax where EVERY candidate passes)."""
+    sparse fg tail above the 0.05 test threshold (random-init logits on the
+    un-normalized fc features saturate softmax, so EVERY candidate passes
+    and the detection cap fills)."""
     cls = params["roi"]["output"]["cls_score"]
     cls["w"] = cls["w"] * w_scale
     cls["b"] = cls["b"].at[-1].set(bg_bias)  # background is the last logit
     return params
+
+
+def calibrate_closed_loop(base_params, fn, args, lo=0.0, hi=16.0, target=(20, 80)):
+    """Binary-search the background bias until the mean final-detection
+    count per image lands in ``target`` (weights-only changes — no
+    recompile). Returns (params, dets_per_img)."""
+    import jax
+
+    def with_bias(b):
+        p = jax.tree_util.tree_map(lambda x: x, base_params)
+        p["roi"] = dict(p["roi"])
+        p["roi"]["output"] = dict(p["roi"]["output"])
+        p["roi"]["output"]["cls_score"] = dict(p["roi"]["output"]["cls_score"])
+        return calibrate_heads(p, bg_bias=b, w_scale=0.02)
+
+    best = None
+    for _ in range(7):
+        mid = 0.5 * (lo + hi)
+        p = with_bias(mid)
+        out = fn(p, *args)
+        n = float(np.asarray(out.valid).sum(-1).mean())
+        best = (p, n)
+        if n > target[1]:
+            lo = mid  # too many detections -> push background up
+        elif n < target[0]:
+            hi = mid
+        else:
+            break
+    return best
 
 
 def bench_inference():
@@ -65,16 +95,16 @@ def bench_inference():
     cfg = build_config(depth=101, input_format="BGR", num_classes=3,
                        compute_dtype="bfloat16")
     params = init_rcnn(jax.random.PRNGKey(0), cfg)
-    params = calibrate_heads(params)
     rng = np.random.RandomState(0)
     sizes = jnp.asarray(np.tile([[800, 1000]], (batch, 1)).astype(np.int32))
 
     fn = jax.jit(lambda p, im, sz: rcnn_inference(p, cfg, im, sz))
     imgs = [jnp.asarray(a) for a in structured_images(rng, 4, batch, 800, 1024, 3)]
-    # compile + warmup (sync via host transfer — block_until_ready does not
-    # fence on the axon backend)
-    out0 = fn(params, imgs[0], sizes)
-    n_dets = float(np.asarray(out0.valid).sum(-1).mean())
+    # compile + warmup, then calibrate the head bias so the score-threshold /
+    # NMS path sees a trained-like detection count (sync via host transfer —
+    # block_until_ready does not fence on the axon backend)
+    np.asarray(fn(params, imgs[0], sizes).scores)
+    params, n_dets = calibrate_closed_loop(params, fn, (imgs[0], sizes))
     print(f"realism: {n_dets:.1f} final dets/img above threshold", file=sys.stderr)
 
     # pipelined throughput: dispatch all batches, fetch at the end (the

@@ -1,0 +1,37 @@
+import sys, os, glob, gzip, json
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax, jax.numpy as jnp
+from proben_tpu.models import build_config, init_rcnn, rcnn_inference
+
+batch = 4
+cfg = build_config(depth=101, input_format="BGR", num_classes=3, compute_dtype="bfloat16")
+params = init_rcnn(jax.random.PRNGKey(0), cfg)
+rng = np.random.RandomState(0)
+sizes = jnp.asarray(np.tile([[800, 1000]], (batch, 1)).astype(np.int32))
+fn = jax.jit(lambda p, im, sz: rcnn_inference(p, cfg, im, sz))
+img = jnp.asarray(rng.rand(batch, 800, 1024, 3).astype(np.float32) * 255)
+np.asarray(fn(params, img, sizes).scores)
+os.makedirs("/tmp/itrace", exist_ok=True)
+with jax.profiler.trace("/tmp/itrace"):
+    for _ in range(8):
+        out = fn(params, img, sizes)
+    np.asarray(out.scores)
+f = sorted(glob.glob("/tmp/itrace/**/*.trace.json.gz", recursive=True), key=os.path.getmtime)[-1]
+ev = json.load(gzip.open(f))["traceEvents"]
+names = {}
+for e in ev:
+    if e.get("ph") == "M" and e.get("name") == "process_name":
+        names[e["pid"]] = e["args"].get("name", "")
+dev_pids = {p for p, n in names.items() if "TPU" in n or "Device" in n}
+agg, cat, src = {}, {}, {}
+for e in ev:
+    if e.get("ph") == "X" and e.get("pid") in dev_pids:
+        agg[e["name"]] = agg.get(e["name"], 0.0) + e.get("dur", 0)
+        if e.get("args"):
+            cat[e["name"]] = str(e["args"].get("hlo_category", ""))
+            src[e["name"]] = str(e["args"].get("source", ""))
+tot = sum(v for k, v in agg.items() if not k.startswith("jit_") and k not in ("0","1","2","3","4","5","6","7"))
+print(f"device: {tot/8000:.1f} ms/batch")
+for n, d in sorted(agg.items(), key=lambda kv: -kv[1])[:25]:
+    print(f"{d/8000:8.2f} ms  [{cat.get(n,'')[:22]}] {n[:40]} {src.get(n,'')[-45:]}")

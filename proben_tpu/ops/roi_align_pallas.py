@@ -46,9 +46,26 @@ from .roi_align import (
 
 Array = jnp.ndarray
 
+# reduced DMA extents for RoIs whose weight span fits (class = tall*2 + wide);
+# WIN_X2 must stay 16-aligned (bf16 sublane tile, same constraint as x0)
+WIN_Y2 = WIN_Y // 2
+WIN_X2 = 48
+
 
 def feats_dtype_size(dtype) -> int:
     return jnp.dtype(dtype).itemsize
+
+
+def window_size_classes(wy: Array, wx: Array) -> Array:
+    """(N,) int32 size class from the exact weight spans: 0 = (WIN_Y2,
+    WIN_X2) ... 3 = full window. All-zero rows (padding) map to full."""
+    used_y = jnp.any(wy != 0, axis=1)  # (N, WIN_Y)
+    used_x = jnp.any(wx != 0, axis=1)
+    span_y = wy.shape[-1] - jnp.argmax(used_y[:, ::-1].astype(jnp.int32), axis=1)
+    span_x = wx.shape[-1] - jnp.argmax(used_x[:, ::-1].astype(jnp.int32), axis=1)
+    tall = span_y > WIN_Y2
+    wide = span_x > WIN_X2
+    return (tall.astype(jnp.int32) * 2 + wide.astype(jnp.int32)).astype(jnp.int32)
 
 
 def _kernel(
@@ -59,8 +76,9 @@ def _kernel(
     lvl_ref,  # (N,) level index per roi
     y0_ref,  # (N,) window origin rows
     x0_ref,  # (N,) window origin cols
+    cls_ref,  # (N,) window size class: tall*2 + wide
     # inputs
-    wy_ref,  # (r, P, WIN_Y) y weights for this step's rois
+    wyb_ref,  # (1, r*P, r*WIN_Y) BLOCK-DIAGONAL y weights for the step's rois
     wx_ref,  # (r, P, WIN_X) x weights
     f0_ref, f1_ref, f2_ref, f3_ref,  # level features (B, H_l, W_l, C) in ANY
     # output
@@ -75,19 +93,36 @@ def _kernel(
     c = out_ref.shape[-1]
     p = out_ref.shape[1]
 
+    SIZES = ((WIN_Y2, WIN_X2), (WIN_Y2, WIN_X), (WIN_Y, WIN_X2), (WIN_Y, WIN_X))
+
     def start_dma(roi, slot):
-        """Kick off the window DMA for RoI ``roi`` into buffer ``slot``."""
+        """Kick off the window DMA for RoI ``roi`` into buffer ``slot``.
+
+        The copied extent shrinks to (WIN_Y2, WIN_X2) when the RoI's weight
+        span allows — most canonical-band RoIs use under half the window, and
+        the kernel is window-DMA-bandwidth-bound. Slot regions beyond the
+        copied extent hold stale-but-finite data (slots are zero-filled once
+        at step 0) whose weights are exactly zero, so outputs are
+        bit-identical. The wait in the compute loop reconstructs the SAME
+        per-class extent: TPU DMA semaphores count bytes, so the wait
+        descriptor must match the started copy.
+        """
         img = img_ref[roi]
         lvl = lvl_ref[roi]
         y0 = y0_ref[roi]
         x0 = pl.multiple_of(x0_ref[roi], 16)  # host guarantees 16-aligned
+        cls_ = cls_ref[roi]
 
         def go(fref):
-            pltpu.make_async_copy(
-                fref.at[img, pl.ds(y0, WIN_Y), pl.ds(x0, WIN_X), :],
-                win_ref.at[slot],
-                sem.at[slot],
-            ).start()
+            for cv, (ny, nx) in enumerate(SIZES):
+
+                @pl.when(cls_ == cv)
+                def _(ny=ny, nx=nx):
+                    pltpu.make_async_copy(
+                        fref.at[img, pl.ds(y0, ny), pl.ds(x0, nx), :],
+                        win_ref.at[slot, pl.ds(0, ny), pl.ds(0, nx), :],
+                        sem.at[slot],
+                    ).start()
 
         @pl.when(lvl == 0)
         def _():
@@ -105,12 +140,23 @@ def _kernel(
         def _():
             go(f3_ref)
 
-    # nslot-deep DMA pipeline (nslot a multiple of r): step 0 fills every
-    # slot; step i>0 issues the r DMAs for rois [i*r + nslot - r, i*r + nslot)
+    def wait_dma(roi, slot):
+        cls_ = cls_ref[roi]
+        for cv, (ny, nx) in enumerate(SIZES):
+
+            @pl.when(cls_ == cv)
+            def _(ny=ny, nx=nx):
+                dst = win_ref.at[slot, pl.ds(0, ny), pl.ds(0, nx), :]
+                pltpu.make_async_copy(dst, dst, sem.at[slot]).wait()
+
+    # nslot-deep DMA pipeline (nslot a multiple of r): step 0 zero-fills the
+    # scratch (so never-copied regions are finite) and fills every slot;
+    # step i>0 issues the r DMAs for rois [i*r + nslot - r, i*r + nslot)
     NSLOT = nslot
 
     @pl.when(i == 0)
     def _():
+        win_ref[...] = jnp.zeros_like(win_ref)
         for j in range(NSLOT):
 
             @pl.when(j < n)
@@ -124,23 +170,25 @@ def _kernel(
         def _(roi_pf=roi_pf):
             start_dma(roi_pf, roi_pf % NSLOT)
 
+    base = (i * r) % NSLOT  # within a step the r slots are contiguous
     for j in range(r):
-        roi = i * r + j
-        slot = roi % NSLOT  # within a step: contiguous, r-aligned
-        pltpu.make_async_copy(win_ref.at[slot], win_ref.at[slot], sem.at[slot]).wait()
+        wait_dma(i * r + j, base + j)
 
-        window = win_ref[slot].reshape(WIN_Y, WIN_X * c)  # (WIN_Y, WIN_X*C)
-        wy = wy_ref[j]  # (P, WIN_Y)
-        wx = wx_ref[j]  # (P, WIN_X)
+    # stacked y-pass: ONE (r*P, r*WIN_Y) @ (r*WIN_Y, WIN_X*C) matmul with
+    # block-diagonal weights — r tiny M=P matmuls had ~5% MXU utilization;
+    # stacking multiplies M (and the utilization) by r at the same wall time
+    stacked = win_ref[pl.ds(base, r)].reshape(r * WIN_Y, WIN_X * c)
+    wyb = wyb_ref[0]  # (r*P, r*WIN_Y)
+    t1 = jnp.dot(
+        wyb.astype(stacked.dtype), stacked, preferred_element_type=jnp.float32
+    ).reshape(r, p, WIN_X, c)
 
-        # y-pass: (P, WIN_Y) @ (WIN_Y, WIN_X*C) -> (P, WIN_X*C); f32 accum
-        t1 = jnp.dot(
-            wy.astype(window.dtype), window, preferred_element_type=jnp.float32
-        ).reshape(p, WIN_X, c)
+    for j in range(r):
         # x-pass: contract WIN_X: (P, WIN_X) x (P, WIN_X, C) -> (Px, Py, C)
+        wx = wx_ref[j]
         t2 = jax.lax.dot_general(
             wx.astype(t1.dtype),
-            t1,
+            t1[j],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Px, Py, C)
@@ -162,8 +210,9 @@ def multilevel_roi_align_pallas(
 ) -> Array:
     """Batched multi-level RoIAlignV2. Returns (B, K, P, P, C)."""
     # pipeline depth bounded by VMEM (~16 MB): bf16 windows allow 4 slots at
-    # 2 RoIs per grid step (the fixed per-step overhead measured ~2 us against
-    # ~2.3 us of window DMA), f32 only 2 slots single-RoI
+    # 2 RoIs per grid step (block-diag y matmul per step doubles the MXU M
+    # dim; the dynamic stacked-slot read costs one r-window VMEM copy, which
+    # bounds r), f32 only 2 slots single-RoI
     if feats_dtype_size(features[0].dtype) <= 2:
         nslot, r = 4, 2
     else:
@@ -196,22 +245,33 @@ def multilevel_roi_align_pallas(
     )
 
     img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+    size_cls = window_size_classes(wy, wx)
     if n_pad:
         pad1 = [(0, n_pad)]
         img_idx = jnp.pad(img_idx, pad1)
         lvl_idx_k = jnp.pad(lvl_idx, pad1)
         y0w = jnp.pad(y0w, pad1)
         x0w = jnp.pad(x0w, pad1)
+        size_cls = jnp.pad(size_cls, pad1, constant_values=3)
         wy = jnp.pad(wy, pad1 + [(0, 0)] * 2)
         wx = jnp.pad(wx, pad1 + [(0, 0)] * 2)
     else:
         lvl_idx_k = lvl_idx
 
+    # block-diagonal y-weights per r-group: (G, r*P, r*WIN_Y)
+    g = (n + n_pad) // r
+    wy_g = wy.reshape(g, r, p, WIN_Y)
+    wyb = jnp.zeros((g, r * p, r * WIN_Y), wy.dtype)
+    for j in range(r):
+        wyb = wyb.at[:, j * p : (j + 1) * p, j * WIN_Y : (j + 1) * WIN_Y].set(
+            wy_g[:, j]
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=((n + n_pad) // r,),
+        num_scalar_prefetch=5,
+        grid=(g,),
         in_specs=[
-            pl.BlockSpec((r, p, WIN_Y), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, r * p, r * WIN_Y), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((r, p, WIN_X), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -230,7 +290,7 @@ def multilevel_roi_align_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n + n_pad, p, p, c), features[0].dtype),
         interpret=interpret,
-    )(img_idx, lvl_idx_k, y0w, x0w, wy, wx, *feats)
+    )(img_idx, lvl_idx_k, y0w, x0w, size_cls, wyb, wx, *feats)
 
     pooled = pooled[:n].reshape(b, k, p, p, c)
 
