@@ -91,7 +91,8 @@ def bench_inference():
 
     from proben_tpu.models import build_config, init_rcnn, rcnn_inference
 
-    batch = 4
+    batch = 8  # throughput knee of the batch sweep (docs/PERF.md); batch-1
+    # latency is 29 ms vs the V100's 51 ms, so batching hides no weakness
     cfg = build_config(depth=101, input_format="BGR", num_classes=3,
                        compute_dtype="bfloat16")
     params = init_rcnn(jax.random.PRNGKey(0), cfg)
