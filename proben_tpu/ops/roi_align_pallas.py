@@ -217,15 +217,18 @@ def multilevel_roi_align_pallas(
     interpret: Optional[bool] = None,
 ) -> Array:
     """Batched multi-level RoIAlignV2. Returns (B, K, P, P, C)."""
-    # pipeline depth bounded by VMEM (~16 MB): bf16 windows allow 4 slots at
-    # 2 RoIs per grid step (block-diag y matmul doubles the MXU M dim; the
-    # group read is a static-branch contiguous view). Measured r=3/nslot=6
-    # slightly SLOWER (9.65 vs 9.0 ms/4096 RoIs) — the shallower per-group
-    # DMA lookahead outweighs the extra M — so r=2/nslot=4 stands.
-    if feats_dtype_size(features[0].dtype) <= 2:
-        nslot, r = 4, 2
-    else:
-        nslot, r = 2, 1
+    # pipeline depth bounded by VMEM (~16 MB): size the slot count from the
+    # ACTUAL window bytes (C doubles to 512 for the middle-fusion concat
+    # backbone, f32 doubles again) against a ~12 MB slot budget. 2 RoIs per
+    # grid step when 4 slots fit (block-diag y matmul doubles the MXU M dim;
+    # the group read is a static-branch contiguous view). Measured
+    # r=3/nslot=6 slightly SLOWER (9.65 vs 9.0 ms/4096 RoIs) — shallower
+    # per-group DMA lookahead outweighs the extra M — so r=2/nslot=4 caps.
+    slot_bytes = WIN_Y * WIN_X * features[0].shape[-1] * feats_dtype_size(
+        features[0].dtype
+    )
+    nslot = max(2, min(4, (12 << 20) // slot_bytes))
+    r = 2 if nslot % 2 == 0 and nslot >= 4 else 1
     if interpret is None:
         # compiled Mosaic kernels need a TPU; tests on the CPU mesh interpret
         interpret = jax.default_backend() != "tpu"
