@@ -97,3 +97,25 @@ def test_sample_topk_underfull():
     valid = np.asarray(valid)
     assert valid.sum() == 5
     assert np.asarray(is_pos).sum() == 2
+
+
+def test_label_anchors_idx_consistent_with_label_anchors():
+    """label_anchors (reference _get_ground_truth shape) and the
+    gather-deferred label_anchors_idx used by rpn_losses must agree."""
+    from proben_tpu.models.rpn import label_anchors, label_anchors_idx
+
+    key = jax.random.PRNGKey(11)
+    anchors = jax.random.uniform(key, (200, 4), minval=0.0, maxval=100.0)
+    anchors = jnp.concatenate(
+        [jnp.minimum(anchors[:, :2], anchors[:, 2:]),
+         jnp.maximum(anchors[:, :2], anchors[:, 2:]) + 4.0], axis=1
+    )
+    gt = jnp.array([[10.0, 10.0, 40.0, 44.0], [60.0, 50.0, 90.0, 95.0],
+                    [0.0, 0.0, 0.0, 0.0]])
+    gt_valid = jnp.array([True, True, False])
+    labels_a, matched_gt = label_anchors(anchors, gt, gt_valid)
+    labels_b, matched_idx = label_anchors_idx(anchors, gt, gt_valid)
+    np.testing.assert_array_equal(np.asarray(labels_a), np.asarray(labels_b))
+    np.testing.assert_allclose(
+        np.asarray(matched_gt), np.asarray(gt)[np.asarray(matched_idx)]
+    )
