@@ -202,6 +202,13 @@ def import_detectron2_checkpoint(
     sd = path_or_sd if isinstance(path_or_sd, dict) else load_state_dict(path_or_sd)
     if _is_caffe2_backbone(sd):
         sd = convert_caffe2_names(sd)
+    # backbone-only checkpoints (e.g. tools/convert_torchvision.py output)
+    # carry bare stem./resN. keys; the reference's matching_heuristics maps
+    # them onto the model's backbone — mirrored here by prefixing
+    if any(k.startswith("stem.") for k in sd) and not any(
+        k.startswith("backbone.") for k in sd
+    ):
+        sd = {f"backbone.bottom_up.{k}": v for k, v in sd.items()}
 
     out: Dict = {}
 
