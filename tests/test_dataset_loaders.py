@@ -1,0 +1,131 @@
+"""VOC / LVIS / Cityscapes dataset loaders + builtin registration
+(references: detectron2/data/datasets/{pascal_voc,lvis,cityscapes,builtin}.py)."""
+
+import json
+import os
+
+import numpy as np
+
+from proben_tpu.data import (
+    DatasetCatalog,
+    MetadataCatalog,
+    load_cityscapes_instances,
+    load_lvis_json,
+    load_voc_instances,
+    register_all_builtin,
+)
+from proben_tpu.structures.boxes import BoxMode
+
+
+def test_voc_loader(tmp_path):
+    (tmp_path / "ImageSets" / "Main").mkdir(parents=True)
+    (tmp_path / "Annotations").mkdir()
+    (tmp_path / "JPEGImages").mkdir()
+    (tmp_path / "ImageSets" / "Main" / "train.txt").write_text("000001\n")
+    (tmp_path / "Annotations" / "000001.xml").write_text(
+        """<annotation>
+  <size><width>100</width><height>80</height><depth>3</depth></size>
+  <object><name>dog</name><difficult>0</difficult>
+    <bndbox><xmin>1</xmin><ymin>1</ymin><xmax>50</xmax><ymax>40</ymax></bndbox>
+  </object>
+  <object><name>person</name><difficult>1</difficult>
+    <bndbox><xmin>10</xmin><ymin>20</ymin><xmax>30</xmax><ymax>60</ymax></bndbox>
+  </object>
+</annotation>"""
+    )
+    dicts = load_voc_instances(str(tmp_path), "train")
+    assert len(dicts) == 1
+    d = dicts[0]
+    assert d["height"] == 80 and d["width"] == 100
+    a0, a1 = d["annotations"]
+    # 1-based inclusive -> 0-based: min corner shifts, max stays
+    np.testing.assert_allclose(a0["bbox"], [0.0, 0.0, 50.0, 40.0])
+    assert a0["bbox_mode"] == BoxMode.XYXY_ABS
+    assert a0["category_id"] == 11  # dog
+    assert a1["category_id"] == 14 and a1["difficult"] == 1
+
+
+def test_lvis_loader(tmp_path):
+    data = {
+        "images": [
+            {
+                "id": 7,
+                "height": 64,
+                "width": 48,
+                "coco_url": "http://images.cocodataset.org/val2017/000000000007.jpg",
+                "neg_category_ids": [2],
+                "not_exhaustive_category_ids": [1],
+            }
+        ],
+        "annotations": [
+            {"id": 1, "image_id": 7, "category_id": 1, "bbox": [1, 2, 10, 12]},
+            {"id": 2, "image_id": 7, "category_id": 2, "bbox": [5, 5, 8, 8]},
+        ],
+        "categories": [
+            {"id": 1, "name": "aardvark", "frequency": "c"},
+            {"id": 2, "synonyms": ["abacus"], "frequency": "r"},
+        ],
+    }
+    p = tmp_path / "lvis.json"
+    p.write_text(json.dumps(data))
+    dicts = load_lvis_json(str(p), "/imgs", dataset_name="lvis_tiny_test")
+    d = dicts[0]
+    assert d["file_name"] == "/imgs/val2017/000000000007.jpg"
+    assert d["neg_category_ids"] == [2]
+    assert [a["category_id"] for a in d["annotations"]] == [0, 1]  # 1-based -> 0-based
+    meta = MetadataCatalog.get("lvis_tiny_test")
+    assert meta.thing_classes == ["aardvark", "abacus"]
+    assert meta.lvis_categories[1]["frequency"] == "r"
+
+
+def test_cityscapes_loader(tmp_path):
+    img_dir = tmp_path / "leftImg8bit" / "val" / "frankfurt"
+    gt_dir = tmp_path / "gtFine" / "val" / "frankfurt"
+    img_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+    stem = "frankfurt_000000_000294_"
+    (img_dir / (stem + "leftImg8bit.png")).write_bytes(b"\x89PNG\r\n")
+    (gt_dir / (stem + "gtFine_polygons.json")).write_text(
+        json.dumps(
+            {
+                "imgHeight": 1024,
+                "imgWidth": 2048,
+                "objects": [
+                    {"label": "car", "polygon": [[10, 20], [110, 20], [110, 90], [10, 90]]},
+                    {"label": "cargroup", "polygon": [[0, 0], [50, 0], [50, 50]]},
+                    {"label": "sky", "polygon": [[0, 0], [2048, 0], [2048, 10]]},
+                    {"label": "person", "deleted": 1, "polygon": [[0, 0], [1, 0], [1, 1]]},
+                ],
+            }
+        )
+    )
+    dicts = load_cityscapes_instances(
+        str(tmp_path / "leftImg8bit" / "val"), str(tmp_path / "gtFine" / "val")
+    )
+    assert len(dicts) == 1
+    d = dicts[0]
+    assert d["height"] == 1024 and d["width"] == 2048
+    assert len(d["annotations"]) == 2  # sky dropped, deleted dropped
+    car, group = d["annotations"]
+    assert car["category_id"] == 2 and car["iscrowd"] == 0  # car
+    np.testing.assert_allclose(car["bbox"], [10, 20, 110, 90])
+    assert group["category_id"] == 2 and group["iscrowd"] == 1
+
+
+def test_register_all_builtin():
+    register_all_builtin(root="/nonexistent-root")
+    names = DatasetCatalog.list()
+    assert "coco_2017_val" in names
+    assert "lvis_v1_val" in names
+    assert "voc_2007_test" in names
+    assert "cityscapes_fine_instance_seg_val" in names
+    assert MetadataCatalog.get("coco_2017_val").thing_classes[0] == "person"
+    assert len(MetadataCatalog.get("coco_2017_val").thing_classes) == 80
+    assert MetadataCatalog.get("voc_2007_test").evaluator_type == "pascal_voc"
+    # registration is lazy: fetching a missing split raises only on access
+    try:
+        DatasetCatalog.get("coco_2017_val")
+        raised = False
+    except (FileNotFoundError, OSError):
+        raised = True
+    assert raised
