@@ -1,4 +1,5 @@
 #!/bin/bash -e
+set -e  # the shebang's -e is ignored when invoked as 'bash script.sh'
 # Inference-accuracy regression (reference dev/run_inference_tests.sh):
 # 1) plumbing gate: loader -> evaluator -> verify_results with a perfect
 #    synthetic predictor (exact-mAP sanity of the eval pipeline itself);

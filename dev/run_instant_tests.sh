@@ -1,4 +1,5 @@
 #!/bin/bash -e
+set -e  # the shebang's -e is ignored when invoked as 'bash script.sh'
 # Train every quick_schedules/*instant_test.yaml for a few iterations on a
 # synthetic dataset (reference dev/run_instant_tests.sh).
 BIN="python dev/instant_train.py"

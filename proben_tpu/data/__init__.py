@@ -1,7 +1,7 @@
 from .builtin import COCO_THING_CLASSES, register_all_builtin
 from .catalog import DatasetCatalog, MetadataCatalog
 from .cityscapes import load_cityscapes_instances, register_cityscapes_instances
-from .coco import load_coco_json, register_coco_instances
+from .coco import load_coco_json, load_sem_seg, register_coco_instances
 from .dataset_mapper import DatasetMapper, MapperConfig
 from .detection_utils import read_image
 from .loader import TrainLoader, build_test_loader, collate, training_index_stream
@@ -13,6 +13,7 @@ __all__ = [
     "DatasetCatalog",
     "MetadataCatalog",
     "load_coco_json",
+    "load_sem_seg",
     "load_cityscapes_instances",
     "load_lvis_json",
     "load_voc_instances",

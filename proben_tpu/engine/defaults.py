@@ -215,8 +215,7 @@ class DefaultTrainer:
 
     @classmethod
     def test(cls, cfg, params, evaluators: Optional[Dict] = None) -> Dict:
-        from ..data import MetadataCatalog
-        from ..evaluation import FLIREvaluator, inference_on_dataset
+        from ..evaluation import build_evaluator, inference_on_dataset
 
         model_cfg = model_config_from_cfg(cfg)
         mapper = DatasetMapper(mapper_config_from_cfg(cfg), is_train=False)
@@ -224,11 +223,12 @@ class DefaultTrainer:
         results = {}
         for name in cfg.DATASETS.TEST:
             dicts = DatasetCatalog.get(name)
-            meta = MetadataCatalog.get(name)
             if evaluators and name in evaluators:
                 evaluator = evaluators[name]
             else:
-                evaluator = FLIREvaluator(meta.json_file, output_dir=cfg.OUTPUT_DIR)
+                # dispatch on the dataset's evaluator_type (reference
+                # build_evaluator pattern); defaults to the FLIR evaluator
+                evaluator = build_evaluator(name, output_dir=cfg.OUTPUT_DIR)
             loader = build_test_loader(dicts, mapper, batch_size=1)
             results[name] = inference_on_dataset(predictor, loader, evaluator)
         return results if len(results) > 1 else next(iter(results.values()), {})

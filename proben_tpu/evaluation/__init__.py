@@ -1,3 +1,4 @@
+from .build import build_evaluator
 from .cityscapes import CityscapesInstanceEvaluator
 from .coco_io import COCODataset
 from .cocoeval import COCOEvaluator, EvalParams, bbox_iou_xywh
@@ -24,6 +25,7 @@ __all__ = [
     "PascalVOCDetectionEvaluator",
     "SemSegEvaluator",
     "bbox_iou_xywh",
+    "build_evaluator",
     "inference_on_dataset",
     "pq_compute_single",
     "print_csv_format",

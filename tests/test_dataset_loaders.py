@@ -129,3 +129,73 @@ def test_register_all_builtin():
     except (FileNotFoundError, OSError):
         raised = True
     assert raised
+
+
+def test_load_sem_seg(tmp_path):
+    from proben_tpu.data import load_sem_seg
+
+    (tmp_path / "imgs" / "sub").mkdir(parents=True)
+    (tmp_path / "gts" / "sub").mkdir(parents=True)
+    (tmp_path / "imgs" / "sub" / "a.jpg").write_bytes(b"x")
+    (tmp_path / "gts" / "sub" / "a.png").write_bytes(b"y")
+    (tmp_path / "imgs" / "orphan.jpg").write_bytes(b"x")  # no gt -> dropped
+    dicts = load_sem_seg(str(tmp_path / "gts"), str(tmp_path / "imgs"))
+    assert len(dicts) == 1
+    assert dicts[0]["file_name"].endswith(os.path.join("sub", "a.jpg"))
+    assert dicts[0]["sem_seg_file_name"].endswith(os.path.join("sub", "a.png"))
+
+
+def test_build_evaluator_dispatch(tmp_path):
+    from proben_tpu.evaluation import build_evaluator
+    from proben_tpu.evaluation.flir import FLIREvaluator
+    from proben_tpu.evaluation.lvis import LVISEvaluator
+    from proben_tpu.evaluation.pascal_voc import PascalVOCDetectionEvaluator
+
+    coco_json = tmp_path / "tiny_coco.json"
+    coco_json.write_text(json.dumps({
+        "images": [{"id": 1, "file_name": "a.jpg", "height": 10, "width": 10}],
+        "annotations": [{"id": 1, "image_id": 1, "category_id": 3,
+                         "bbox": [1, 1, 5, 5], "area": 25, "iscrowd": 0}],
+        "categories": [{"id": 3, "name": "cat"}],
+    }))
+    from proben_tpu.data import MetadataCatalog
+
+    m = MetadataCatalog.get("disp_coco")
+    m.json_file = str(coco_json)
+    m.evaluator_type = "coco"
+    ev = build_evaluator("disp_coco")
+    assert isinstance(ev, FLIREvaluator) and ev.valid_classes == {0}
+    assert ev.class_remap == {}
+    # contiguous class 0 must survive the generic-coco route (passing
+    # DATASET ids as valid_classes silently dropped every detection)
+    ev.process(1, [[1, 1, 6, 6]], [0.9], [0])
+    np.testing.assert_allclose(ev.evaluate()["bbox"]["AP50"], 100.0)
+
+    lvis_json = tmp_path / "tiny_lvis.json"
+    lvis_json.write_text(json.dumps({
+        "images": [{"id": 1, "neg_category_ids": []}],
+        "annotations": [{"id": 1, "image_id": 1, "category_id": 1,
+                         "bbox": [1, 1, 5, 5]}],
+        "categories": [{"id": 1, "name": "x", "frequency": "c"}],
+    }))
+    m2 = MetadataCatalog.get("disp_lvis")
+    m2.json_file = str(lvis_json)
+    m2.evaluator_type = "lvis"
+    assert isinstance(build_evaluator("disp_lvis"), LVISEvaluator)
+
+    # VOC: register a one-image dataset, gt seeded from the dicts
+    from proben_tpu.data import DatasetCatalog
+
+    DatasetCatalog.register("disp_voc", lambda: [{
+        "image_id": "im0",
+        "annotations": [{"bbox": [0, 0, 9, 9], "category_id": 0,
+                         "bbox_mode": BoxMode.XYXY_ABS}],
+    }])
+    mv = MetadataCatalog.get("disp_voc")
+    mv.evaluator_type = "pascal_voc"
+    mv.thing_classes = ["person"]
+    mv.year = 2007
+    ev = build_evaluator("disp_voc")
+    assert isinstance(ev, PascalVOCDetectionEvaluator)
+    ev.process("im0", [[0, 0, 9, 9]], [0.9], [0])
+    np.testing.assert_allclose(ev.evaluate()["bbox"]["AP50"], 100.0)
