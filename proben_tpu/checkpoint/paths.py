@@ -81,12 +81,23 @@ def _cached_fetch(url: str, cache_dir: Optional[str]) -> str:
     local = os.path.join(cache_dir, rel)
     if os.path.exists(local):
         return local
-    # zoo mirror by basename (offline environments)
+    # zoo mirror (offline environments). Keyed primarily by the full URL
+    # path with separators flattened — every catalog:// Caffe2 COCO baseline
+    # ends in model_final.pkl, so a bare-basename key would collide across
+    # models (round-2 advisor finding). The basename key is kept as a
+    # fallback ONLY when it is unambiguous (not a generic model_final.*).
     zoo_dir = os.environ.get("PROBEN_ZOO_DIR", "")
     if zoo_dir:
-        mirror = os.path.join(zoo_dir, os.path.basename(rel))
-        if os.path.exists(mirror):
-            return mirror
+        flat = rel.replace("/", "__")
+        for key in (flat, os.path.join(*rel.split("/")[-2:]).replace("/", "__")):
+            mirror = os.path.join(zoo_dir, key)
+            if os.path.exists(mirror):
+                return mirror
+        base = os.path.basename(rel)
+        if not base.startswith("model_final"):
+            mirror = os.path.join(zoo_dir, base)
+            if os.path.exists(mirror):
+                return mirror
     os.makedirs(os.path.dirname(local), exist_ok=True)
     import urllib.request
 
@@ -99,7 +110,7 @@ def _cached_fetch(url: str, cache_dir: Optional[str]) -> str:
     except Exception as e:  # zero-egress environments land here
         raise FileNotFoundError(
             f"cannot fetch {url} (offline?). Place the file at {local} or in "
-            f"$PROBEN_ZOO_DIR as {os.path.basename(rel)}."
+            f"$PROBEN_ZOO_DIR as {rel.replace('/', '__')}."
         ) from e
 
 

@@ -138,7 +138,8 @@ class DefaultTrainer:
             # FrozenBN models -> the hook self-disables like the reference.
             hooks.append(
                 PreciseBNHook(
-                    max(self.cfg.TEST.EVAL_PERIOD, 1),
+                    # EVAL_PERIOD=0 -> hook fires only at the final iteration
+                    self.cfg.TEST.EVAL_PERIOD,
                     self.train_loader,
                     getattr(self, "bn_stats_fn", None),
                     getattr(self, "bn_apply_fn", None),

@@ -204,5 +204,9 @@ class PreciseBNHook(HookBase):
         if self._disabled:
             return
         next_iter = self.trainer.iter + 1
-        if next_iter % self._period == 0 or next_iter >= self.trainer.max_iter:
+        # period <= 0 (EVAL_PERIOD=0): reference behavior is PreciseBN only
+        # at eval points, i.e. here only at the final iteration — never
+        # every step (round-2 advisor finding).
+        at_period = self._period > 0 and next_iter % self._period == 0
+        if at_period or next_iter >= self.trainer.max_iter:
             self._update()

@@ -127,13 +127,17 @@ class LVISEvaluator:
         self._predictions: List[dict] = []
 
     def process(self, image_id, boxes, scores, classes):
-        """boxes XYXY absolute; classes are LVIS category ids (1-based)."""
+        """boxes XYXY absolute; classes are CONTIGUOUS 0-based model indices
+        (what ``inference_on_dataset``/``predict_batch`` emit). They are
+        unmapped here to 1-based LVIS category ids, inverting the ``- 1``
+        the loader applies (data/lvis.py) — the reference does the same via
+        ``reverse_id_mapping`` (`lvis_evaluation.py:121-128`)."""
         boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
         for b, s, c in zip(boxes, np.asarray(scores), np.asarray(classes)):
             self._predictions.append(
                 {
                     "image_id": image_id,
-                    "category_id": int(c),
+                    "category_id": int(c) + 1,
                     "bbox": [b[0], b[1], b[2] - b[0], b[3] - b[1]],
                     "score": float(s),
                 }

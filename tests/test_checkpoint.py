@@ -223,14 +223,27 @@ def test_url_scheme_resolution(tmp_path, monkeypatch):
     got = resolve_checkpoint_path("detectron2://COCO-Detection/x/model_final_1.pkl")
     assert got == str(target)
 
-    # zoo-mirror hit by basename
+    # zoo-mirror hit by basename (unambiguous name -> fallback allowed)
     (zoo / "R-50.pkl").write_bytes(b"zoo")
     got = resolve_checkpoint_path("catalog://ImageNetPretrained/MSRA/R-50.pkl")
     assert got == str(zoo / "R-50.pkl")
 
-    # offline miss -> actionable FileNotFoundError
-    import pytest
+    # generic model_final.pkl basenames MUST NOT resolve by basename —
+    # every catalog:// Caffe2 baseline ends in model_final.pkl, so a
+    # basename key could serve the wrong model's weights (advisor finding)
+    (zoo / "model_final.pkl").write_bytes(b"ambiguous")
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint_path(
+            "catalog://Caffe2Detectron/COCO/35857345/e2e_faster_rcnn_R-50-FPN_1x"
+        )
+    # ...but the collision-free parent-dir__basename key does resolve
+    (zoo / "generalized_rcnn__model_final.pkl").write_bytes(b"specific")
+    got = resolve_checkpoint_path(
+        "catalog://Caffe2Detectron/COCO/35857345/e2e_faster_rcnn_R-50-FPN_1x"
+    )
+    assert got == str(zoo / "generalized_rcnn__model_final.pkl")
 
+    # offline miss -> actionable FileNotFoundError
     with pytest.raises(FileNotFoundError, match="PROBEN_ZOO_DIR"):
         resolve_checkpoint_path("detectron2://COCO-Detection/missing/model.pkl")
 

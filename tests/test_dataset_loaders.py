@@ -199,3 +199,37 @@ def test_build_evaluator_dispatch(tmp_path):
     assert isinstance(ev, PascalVOCDetectionEvaluator)
     ev.process("im0", [[0, 0, 9, 9]], [0.9], [0])
     np.testing.assert_allclose(ev.evaluate()["bbox"]["AP50"], 100.0)
+
+
+def test_build_evaluator_cityscapes_instance(tmp_path):
+    """cityscapes_instance datasets dispatch to a box-protocol adapter over
+    CityscapesInstanceEvaluator (gt from the dataset dicts' polygons); a
+    box-perfect detection on a box-shaped instance scores AP50=100
+    (round-2 advisor: the loader/evaluator pair never connected)."""
+    from proben_tpu.data import DatasetCatalog, MetadataCatalog
+    from proben_tpu.evaluation import build_evaluator
+
+    DatasetCatalog.register("disp_city", lambda: [{
+        "image_id": "frankfurt_000000_000294",
+        "height": 128, "width": 256,
+        "annotations": [{
+            "category_id": 2,  # car
+            "bbox": [10.0, 20.0, 110.0, 90.0],
+            "bbox_mode": BoxMode.XYXY_ABS,
+            "iscrowd": 0,
+            # rectangle polygon == its own bbox, so a box prediction is an
+            # exact mask match
+            "segmentation": [[10, 20, 110, 20, 110, 90, 10, 90]],
+        }],
+    }])
+    mc = MetadataCatalog.get("disp_city")
+    mc.evaluator_type = "cityscapes_instance"
+    mc.thing_classes = [
+        "person", "rider", "car", "truck", "bus", "train", "motorcycle",
+        "bicycle",
+    ]
+    ev = build_evaluator("disp_city", output_dir=str(tmp_path / "cs_out"))
+    ev.reset()
+    ev.process("frankfurt_000000_000294", [[10, 20, 110, 90]], [0.95], [2])
+    res = ev.evaluate()
+    np.testing.assert_allclose(res["segm"]["AP50"], 100.0)

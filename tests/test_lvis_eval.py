@@ -79,13 +79,34 @@ def test_per_image_cross_category_cap():
 
 
 def test_lvis_evaluator_lifecycle():
+    """process() takes CONTIGUOUS 0-based model classes and unmaps them to
+    1-based LVIS ids — the pipeline convention (data/lvis.py subtracts 1 on
+    load; the reference's lvis_evaluation.py:121-128 adds it back)."""
     anns, images, cats, _ = _fixture()
     data = {"annotations": anns, "images": images, "categories": cats}
     ev = LVISEvaluator(data)
-    ev.process(1, [[10, 10, 50, 50], [60, 60, 90, 90]], [0.9, 0.8], [1, 2])
-    ev.process(3, [[5, 5, 25, 25]], [0.7], [1])
+    ev.process(1, [[10, 10, 50, 50], [60, 60, 90, 90]], [0.9, 0.8], [0, 1])
+    ev.process(3, [[5, 5, 25, 25]], [0.7], [0])
     res = ev.evaluate()["bbox"]
     np.testing.assert_allclose(res["AP"], 100.0)
     ev.reset()
     res_empty = ev.evaluate()["bbox"]
     assert res_empty["AP"] <= 0.0  # no detections -> zero/undefined AP
+
+
+def test_lvis_evaluator_contiguous_ids_end_to_end():
+    """Perfect detections fed with MODEL indices (0-based) must score AP=100;
+    a verbatim pass-through of contiguous ids would score 0 (the round-2
+    advisor's empirical finding)."""
+    anns, images, cats, perfect = _fixture()
+    data = {"annotations": anns, "images": images, "categories": cats}
+    ev = LVISEvaluator(data)
+    for d in perfect:
+        x, y, w, h = d["bbox"]
+        ev.process(
+            d["image_id"], [[x, y, x + w, y + h]], [d["score"]],
+            [d["category_id"] - 1],
+        )
+    res = ev.evaluate()["bbox"]
+    np.testing.assert_allclose(res["AP"], 100.0)
+    np.testing.assert_allclose(res["APr"], 100.0)

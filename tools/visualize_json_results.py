@@ -22,6 +22,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from proben_tpu.data import DatasetCatalog, MetadataCatalog  # noqa: E402
+from proben_tpu.structures.boxes import BoxMode  # noqa: E402
 from proben_tpu.utils.visualizer import Visualizer  # noqa: E402
 
 
@@ -77,8 +78,12 @@ def main():
         )
         gt_boxes, gt_classes = [], []
         for ann in dic.get("annotations", []):
-            b = ann["bbox"]
-            gt_boxes.append([b[0], b[1], b[0] + b[2], b[1] + b[3]])
+            b = list(ann["bbox"])
+            # COCO dicts store XYWH_ABS; VOC/Cityscapes dicts store XYXY_ABS
+            # — honor the per-annotation bbox_mode (round-2 advisor finding)
+            if ann.get("bbox_mode", BoxMode.XYWH_ABS) == BoxMode.XYWH_ABS:
+                b = [b[0], b[1], b[0] + b[2], b[1] + b[3]]
+            gt_boxes.append(b)
             gt_classes.append(ann.get("category_id", 0))
         vis_gt = (
             Visualizer(img, metadata)
