@@ -1,17 +1,31 @@
 """Benchmark: images/sec/chip on FLIR Faster R-CNN inference (the BASELINE.json
-metric). Prints ONE JSON line (plus a realism note on stderr).
+metric). Prints its result as ONE JSON line — possibly twice: a batch-4 line
+as soon as it is measured (insurance against the driver's wall-clock budget),
+then the batch-8 flagship line if time allows. The driver parses the LAST
+JSON line in the tail, so the best completed measurement always wins.
 
 Baseline for vs_baseline: detectron2 Faster R-CNN R101-FPN inference on V100 =
 19.6 img/s (reference MODEL_ZOO.md:179-182) — the strongest per-chip figure
 published in-tree. The north-star floor (>10x detectron2-CPU ~1.5 img/s) is
 far below it.
 
+Round-3 hardening (BENCH_r02.json was rc=124/parsed-null — a 404 s cold run
+exceeded the driver budget):
+  * persistent XLA compilation cache (same mechanism as __graft_entry__):
+    remote axon compiles are the dominant cost; warm runs skip them.
+  * deadline-aware staging: batch-4 measured+printed first, batch-8 only if
+    the remaining self-budget (PROBEN_BENCH_DEADLINE, default 240 s) allows.
+  * one retry on transient axon faults ("remote_compile" / "TPU worker
+    crashed" / FAILED_PRECONDITION — CLAUDE.md's own advice).
+
 Realism: random-init heads give near-uniform softmax scores (every candidate
 passes the 0.05 threshold — unrealistic NMS/top-k occupancy). The class head
-is therefore calibrated post-init (background bias up, fg logit spread up) so
-a trained-like sparse tail of candidates crosses the score threshold, and the
-input is synthetic-but-structured (boxes pasted on background, fixed seed).
-The per-image final detection count is printed to stderr as evidence.
+is therefore calibrated post-init (background bias up, fg logit spread up) by
+a closed-loop bisection holding 20-80 final dets/img, and the input is
+synthetic-but-structured (boxes pasted on background, fixed seed). The
+per-image final detection count is printed to stderr as evidence.
+`--trained-ckpt PATH` swaps in real trained weights instead (weights-only,
+no recompile) to cross-check the calibrated-random numbers.
 
 `--train` benchmarks the batch-8 training step instead (second metric;
 the driver's default invocation stays inference).
@@ -21,10 +35,45 @@ execution; a host transfer of one output field is used as the sync point.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+T_START = time.time()
+DEADLINE = float(os.environ.get("PROBEN_BENCH_DEADLINE", "240"))
+BASELINE_V100 = 19.6  # d2 R101-FPN V100 img/s (MODEL_ZOO.md:179-182)
+
+_TRANSIENT = ("remote_compile", "TPU worker", "FAILED_PRECONDITION", "UNAVAILABLE",
+              "DEADLINE_EXCEEDED", "Socket closed", "RESOURCE_EXHAUSTED")
+
+
+def _left():
+    return DEADLINE - (time.time() - T_START)
+
+
+def retry_transient(fn, *args, **kwargs):
+    """One retry on the transient axon faults CLAUDE.md documents."""
+    try:
+        return fn(*args, **kwargs)
+    except Exception as e:  # noqa: BLE001 — match on message, re-raise others
+        msg = str(e)
+        if any(t in msg for t in _TRANSIENT):
+            print(f"transient backend fault, retrying once: {msg[:200]}",
+                  file=sys.stderr)
+            time.sleep(3)
+            return fn(*args, **kwargs)
+        raise
+
+
+def enable_compile_cache():
+    import jax
+
+    cache_dir = os.path.expanduser("~/.cache/proben_tpu_xla_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
 def structured_images(rng, n, batch, h, w, c):
@@ -56,7 +105,8 @@ def calibrate_heads(params, bg_bias=3.0, w_scale=0.02):
     return params
 
 
-def calibrate_closed_loop(base_params, fn, args, lo=0.0, hi=16.0, target=(20, 80)):
+def calibrate_closed_loop(base_params, fn, args, lo=0.0, hi=16.0, target=(20, 80),
+                          steps=7):
     """Binary-search the background bias until the mean final-detection
     count per image lands in ``target`` (weights-only changes — no
     recompile). Returns (params, dets_per_img)."""
@@ -70,12 +120,12 @@ def calibrate_closed_loop(base_params, fn, args, lo=0.0, hi=16.0, target=(20, 80
         return calibrate_heads(p, bg_bias=b, w_scale=0.02)
 
     best = None
-    for _ in range(7):
+    for _ in range(steps):
         mid = 0.5 * (lo + hi)
         p = with_bias(mid)
         out = fn(p, *args)
         n = float(np.asarray(out.valid).sum(-1).mean())
-        best = (p, n)
+        best = (p, n, mid)
         if n > target[1]:
             lo = mid  # too many detections -> push background up
         elif n < target[0]:
@@ -85,50 +135,94 @@ def calibrate_closed_loop(base_params, fn, args, lo=0.0, hi=16.0, target=(20, 80
     return best
 
 
-def bench_inference():
-    import jax
-    import jax.numpy as jnp
+def emit(metric, img_s, extra=""):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(img_s, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_s / BASELINE_V100, 3),
+            }
+        ),
+        flush=True,
+    )
+    if extra:
+        print(extra, file=sys.stderr)
 
-    from proben_tpu.models import build_config, init_rcnn, rcnn_inference
 
-    batch = 8  # throughput knee of the batch sweep (docs/PERF.md); batch-1
-    # latency is 29 ms vs the V100's 51 ms, so batching hides no weakness
-    cfg = build_config(depth=101, input_format="BGR", num_classes=3,
-                       compute_dtype="bfloat16")
-    params = init_rcnn(jax.random.PRNGKey(0), cfg)
-    rng = np.random.RandomState(0)
-    sizes = jnp.asarray(np.tile([[800, 1000]], (batch, 1)).astype(np.int32))
-
-    fn = jax.jit(lambda p, im, sz: rcnn_inference(p, cfg, im, sz))
-    imgs = [jnp.asarray(a) for a in structured_images(rng, 4, batch, 800, 1024, 3)]
-    # compile + warmup, then calibrate the head bias so the score-threshold /
-    # NMS path sees a trained-like detection count (sync via host transfer —
-    # block_until_ready does not fence on the axon backend)
-    np.asarray(fn(params, imgs[0], sizes).scores)
-    params, n_dets = calibrate_closed_loop(params, fn, (imgs[0], sizes))
-    print(f"realism: {n_dets:.1f} final dets/img above threshold", file=sys.stderr)
-
-    # pipelined throughput: dispatch all batches, fetch at the end (the
-    # tunnel's ~33 ms RTT otherwise dominates; see docs/PERF.md)
-    iters = 16
+def _measure_batch(fn, params, imgs, sizes, batch, iters):
+    """Pipelined throughput: dispatch all batches, fetch at the end (the
+    tunnel's ~33 ms RTT otherwise dominates; see docs/PERF.md)."""
     t0 = time.time()
     outs = [fn(params, imgs[i % len(imgs)], sizes) for i in range(iters)]
     for o in outs:
         np.asarray(o.scores)
     dt = time.time() - t0
-    img_s = batch * iters / dt
+    return batch * iters / dt
 
-    baseline_v100 = 19.6  # d2 R101-FPN V100 img/s
-    print(
-        json.dumps(
-            {
-                "metric": "flir_faster_rcnn_r101_inference",
-                "value": round(img_s, 2),
-                "unit": "img/s/chip",
-                "vs_baseline": round(img_s / baseline_v100, 3),
-            }
-        )
-    )
+
+def bench_inference(trained_ckpt=None):
+    import jax
+    import jax.numpy as jnp
+
+    from proben_tpu.models import build_config, init_rcnn, rcnn_inference
+
+    enable_compile_cache()
+    cfg = build_config(depth=101, input_format="BGR", num_classes=3,
+                       compute_dtype="bfloat16")
+    # jitted init: eager init_rcnn dispatches each param op through the
+    # ~33 ms-RTT tunnel (~170 s for R101); one compiled (and persistently
+    # cached) program does it in seconds
+    params = retry_transient(jax.jit(lambda k: init_rcnn(k, cfg)),
+                             jax.random.PRNGKey(0))
+    if trained_ckpt:
+        # a bare params pytree saved via checkpoint.save_pytree (see
+        # dev/export_bench_ckpt.py for extracting one from a trainer state)
+        from proben_tpu.checkpoint import restore_pytree
+
+        params = restore_pytree(trained_ckpt, params)
+        print(f"loaded trained weights from {trained_ckpt}", file=sys.stderr)
+    rng = np.random.RandomState(0)
+
+    def run_stage(batch, n_imgs, iters, calib_params=None, calib_steps=7):
+        sizes = jnp.asarray(np.tile([[800, 1000]], (batch, 1)).astype(np.int32))
+        fn = jax.jit(lambda p, im, sz: rcnn_inference(p, cfg, im, sz))
+        imgs = [jnp.asarray(a)
+                for a in structured_images(rng, n_imgs, batch, 800, 1024, 3)]
+        # compile + warmup (sync via host transfer — block_until_ready does
+        # not fence on the axon backend)
+        retry_transient(lambda: np.asarray(fn(params, imgs[0], sizes).scores))
+        if trained_ckpt:
+            p, n_dets = params, float(
+                np.asarray(fn(params, imgs[0], sizes).valid).sum(-1).mean())
+        elif calib_params is not None:
+            p, n_dets = calib_params, float(
+                np.asarray(fn(calib_params, imgs[0], sizes).valid).sum(-1).mean())
+        else:
+            p, n_dets, _ = calibrate_closed_loop(
+                params, fn, (imgs[0], sizes), steps=calib_steps)
+        print(f"realism(b{batch}): {n_dets:.1f} final dets/img above threshold",
+              file=sys.stderr)
+        img_s = retry_transient(_measure_batch, fn, p, imgs, sizes, batch, iters)
+        return img_s, p
+
+    # Stage A: batch 4 — cheapest compile, prints the insurance line.
+    img_s4, calib = run_stage(4, 2, 8)
+    emit("flir_faster_rcnn_r101_inference", img_s4)
+    print(f"[stage A done at t={time.time() - T_START:.0f}s, "
+          f"{_left():.0f}s left]", file=sys.stderr)
+
+    # Stage B: batch 8 (the throughput knee, docs/PERF.md) if budget allows.
+    # Warm-cache compile is seconds; a cold compile needs the headroom.
+    if _left() > 60:
+        img_s8, _ = run_stage(8, 2, 16, calib_params=calib)
+        emit("flir_faster_rcnn_r101_inference", img_s8)
+        print(f"[stage B done at t={time.time() - T_START:.0f}s]",
+              file=sys.stderr)
+    else:
+        print("[skipping batch-8 stage: insufficient budget left]",
+              file=sys.stderr)
 
 
 def bench_train():
@@ -140,6 +234,7 @@ def bench_train():
     from proben_tpu.models import init_rcnn
     from proben_tpu.structures import GroundTruth
 
+    enable_compile_cache()
     cfg = get_cfg()
     cfg.merge_from_file("configs/FLIR-Detection/faster_rcnn_R_101_FLIR.yaml")
     mcfg = model_config_from_cfg(cfg)
@@ -164,9 +259,11 @@ def bench_train():
     init_state, step = make_train_step(mcfg, scfg)
     step = jax.jit(step)
     state = init_state(
-        init_rcnn(jax.random.PRNGKey(0), mcfg), jax.random.PRNGKey(7)
+        retry_transient(jax.jit(lambda k: init_rcnn(k, mcfg)),
+                        jax.random.PRNGKey(0)),
+        jax.random.PRNGKey(7),
     )
-    state, metrics = step(state, data)
+    state, metrics = retry_transient(step, state, data)
     np.asarray(metrics["total_loss"])  # compile + sync
     iters = 12
     t0 = time.time()
@@ -185,7 +282,8 @@ def bench_train():
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_s / baseline, 3),
             }
-        )
+        ),
+        flush=True,
     )
 
 
@@ -193,7 +291,10 @@ def main():
     if "--train" in sys.argv:
         bench_train()
     else:
-        bench_inference()
+        ckpt = None
+        if "--trained-ckpt" in sys.argv:
+            ckpt = sys.argv[sys.argv.index("--trained-ckpt") + 1]
+        bench_inference(trained_ckpt=ckpt)
 
 
 if __name__ == "__main__":
