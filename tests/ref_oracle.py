@@ -146,6 +146,24 @@ def _cat(tensors, dim=0):
     return torch.cat(tensors, dim)
 
 
+def _configurable(init_func):
+    """Functional re-implementation of detectron2.config.configurable
+    (reference config/config.py:33): when the decorated ``__init__`` is
+    called with a cfg as the first positional arg, route through the class's
+    ``from_config`` to build the explicit kwargs."""
+    import functools
+
+    @functools.wraps(init_func)
+    def wrapped(self, *args, **kwargs):
+        if args and (hasattr(args[0], "MODEL") or hasattr(args[0], "defrost")):
+            explicit = type(self).from_config(args[0], *args[1:], **kwargs)
+            init_func(self, **explicit)
+        else:
+            init_func(self, *args, **kwargs)
+
+    return wrapped
+
+
 # ---------------------------------------------------------------------------
 # module loading
 # ---------------------------------------------------------------------------
@@ -212,7 +230,7 @@ def _plant_stubs():
     # detectron2 package skeleton
     d2 = _mod("detectron2", __ref_oracle__=True)
     d2.__path__ = []  # mark as package
-    _mod("detectron2.config", configurable=lambda f=None, **kw: f if f else (lambda g: g))
+    _mod("detectron2.config", configurable=_configurable)
     layers = _mod(
         "detectron2.layers",
         cat=_cat,
@@ -337,3 +355,384 @@ def get():
     if _ns is None:
         _ns = load()
     return _ns
+
+
+# ---------------------------------------------------------------------------
+# composed full model (round-3): the reference's GeneralizedRCNN graph
+# ---------------------------------------------------------------------------
+
+
+class _Registry:
+    """Minimal detectron2.utils.registry.Registry (decorator + get)."""
+
+    def __init__(self, name):
+        self._name = name
+        self._map = {}
+
+    def register(self, obj=None):
+        if obj is None:
+            def deco(cls):
+                self._map[cls.__name__] = cls
+                return cls
+
+            return deco
+        self._map[obj.__name__] = obj
+        return obj
+
+    def get(self, name):
+        return self._map[name]
+
+
+def _c2_msra_fill(module):
+    torch.nn.init.kaiming_normal_(module.weight, mode="fan_out", nonlinearity="relu")
+    if module.bias is not None:
+        torch.nn.init.constant_(module.bias, 0)
+
+
+def _c2_xavier_fill(module):
+    torch.nn.init.kaiming_uniform_(module.weight, a=1)
+    if module.bias is not None:
+        torch.nn.init.constant_(module.bias, 0)
+
+
+def _bilinear_grid(feat, ys, xs):
+    """Vectorized ROIAlign bilinear sampling (ROIAlign_cuda.cu:19-66
+    semantics): feat (C, H, W); ys (M,), xs (K,) -> (C, M, K); points with
+    y < -1 | y > H | x < -1 | x > W contribute exactly 0."""
+    C, H, W = feat.shape
+    vy = (ys >= -1.0) & (ys <= H)
+    vx = (xs >= -1.0) & (xs <= W)
+    y = ys.clamp(min=0.0)
+    x = xs.clamp(min=0.0)
+    y0 = y.floor().long()
+    x0 = x.floor().long()
+    top_y = y0 >= H - 1
+    top_x = x0 >= W - 1
+    y0 = torch.where(top_y, torch.full_like(y0, H - 1), y0)
+    x0 = torch.where(top_x, torch.full_like(x0, W - 1), x0)
+    y1 = torch.where(top_y, y0, y0 + 1)
+    x1 = torch.where(top_x, x0, x0 + 1)
+    ly = torch.where(top_y, torch.zeros_like(y), y - y0.to(y.dtype))
+    lx = torch.where(top_x, torch.zeros_like(x), x - x0.to(x.dtype))
+    hy, hx = 1.0 - ly, 1.0 - lx
+    # gather the four corners: (C, M, K)
+    f00 = feat[:, y0][:, :, x0]
+    f01 = feat[:, y0][:, :, x1]
+    f10 = feat[:, y1][:, :, x0]
+    f11 = feat[:, y1][:, :, x1]
+    w00 = (hy[:, None] * hx[None, :])[None]
+    w01 = (hy[:, None] * lx[None, :])[None]
+    w10 = (ly[:, None] * hx[None, :])[None]
+    w11 = (ly[:, None] * lx[None, :])[None]
+    out = f00 * w00 + f01 * w01 + f10 * w10 + f11 * w11
+    mask = (vy[:, None] & vx[None, :]).to(feat.dtype)[None]
+    return out * mask
+
+
+class _ROIAlignStub(torch.nn.Module):
+    """Pure-torch ROIAlign with the reference CUDA kernel's exact semantics
+    (aligned=True V2, adaptive sampling_ratio=0 -> ceil(roi/P) per RoI;
+    reference layers/csrc/ROIAlign/ROIAlign_cuda.cu:68-140). Used as the
+    ``detectron2.layers.ROIAlign`` stub so the real poolers.py/roi_heads.py
+    composition can run on CPU without the _C extension."""
+
+    def __init__(self, output_size, spatial_scale, sampling_ratio, aligned=True):
+        super().__init__()
+        self.output_size = (
+            output_size if isinstance(output_size, (tuple, list))
+            else (output_size, output_size)
+        )
+        self.spatial_scale = spatial_scale
+        self.sampling_ratio = sampling_ratio
+        self.aligned = aligned
+
+    def forward(self, x, rois):
+        P_h, P_w = self.output_size
+        N, C, H, W = x.shape
+        out = x.new_zeros((len(rois), C, P_h, P_w))
+        offset = 0.5 if self.aligned else 0.0
+        for r in range(len(rois)):
+            b = int(rois[r, 0])
+            x1 = rois[r, 1] * self.spatial_scale - offset
+            y1 = rois[r, 2] * self.spatial_scale - offset
+            x2 = rois[r, 3] * self.spatial_scale - offset
+            y2 = rois[r, 4] * self.spatial_scale - offset
+            rw, rh = x2 - x1, y2 - y1
+            if not self.aligned:
+                rw = rw.clamp(min=1.0)
+                rh = rh.clamp(min=1.0)
+            bin_w, bin_h = rw / P_w, rh / P_h
+            gh = (
+                self.sampling_ratio
+                if self.sampling_ratio > 0
+                else int(torch.ceil(rh / P_h).item())
+            )
+            gw = (
+                self.sampling_ratio
+                if self.sampling_ratio > 0
+                else int(torch.ceil(rw / P_w).item())
+            )
+            count = max(gh * gw, 1)
+            if gh <= 0 or gw <= 0:
+                continue
+            py = torch.arange(P_h, dtype=x.dtype)
+            iy = (torch.arange(gh, dtype=x.dtype) + 0.5) / gh
+            ys = (y1 + (py[:, None] + iy[None, :]) * bin_h).reshape(-1)
+            px = torch.arange(P_w, dtype=x.dtype)
+            ix = (torch.arange(gw, dtype=x.dtype) + 0.5) / gw
+            xs = (x1 + (px[:, None] + ix[None, :]) * bin_w).reshape(-1)
+            vals = _bilinear_grid(x[b], ys, xs)  # (C, P_h*gh, P_w*gw)
+            vals = vals.reshape(C, P_h, gh, P_w, gw).sum(dim=(2, 4)) / count
+            out[r] = vals
+        return out
+
+
+class _MiniCfgNode(types.SimpleNamespace):
+    def clone(self):
+        import copy
+
+        return copy.deepcopy(self)
+
+
+def _to_cfg(d):
+    if isinstance(d, dict):
+        return _MiniCfgNode(**{k: _to_cfg(v) for k, v in d.items()})
+    return d
+
+
+def make_ref_cfg(num_classes=3, depth=50, pre_nms_topk_test=1000,
+                 post_nms_topk_test=1000, detections_per_image=100,
+                 score_thresh=0.05):
+    """R50/R101-FPN GeneralizedRCNN config with the reference's default
+    values (reference config/defaults.py), as a minimal attribute tree —
+    yacs isn't installed here and only these keys are read by the modules
+    under test."""
+    return _to_cfg({
+        "VIS_PERIOD": 0,
+        "INPUT": {"FORMAT": "BGR", "NUM_IN_CHANNELS": 3},
+        "TEST": {"DETECTIONS_PER_IMAGE": detections_per_image},
+        "MODEL": {
+            "DEVICE": "cpu",
+            "MASK_ON": False,
+            "KEYPOINT_ON": False,
+            "LOAD_PROPOSALS": False,
+            "BLUR_RGB": False,
+            "MAX_POOL_RGB": False,
+            "PIXEL_MEAN": [103.53, 116.28, 123.675],
+            "PIXEL_STD": [1.0, 1.0, 1.0],
+            "BACKBONE": {"NAME": "build_resnet_fpn_backbone", "FREEZE_AT": 0},
+            "RESNETS": {
+                "DEPTH": depth, "NORM": "FrozenBN", "NUM_GROUPS": 1,
+                "WIDTH_PER_GROUP": 64, "STEM_OUT_CHANNELS": 64,
+                "RES2_OUT_CHANNELS": 256, "RES5_DILATION": 1,
+                "STRIDE_IN_1X1": True,
+                "OUT_FEATURES": ["res2", "res3", "res4", "res5"],
+                "DEFORM_ON_PER_STAGE": [False, False, False, False],
+                "DEFORM_MODULATED": False, "DEFORM_NUM_GROUPS": 1,
+            },
+            "FPN": {
+                "IN_FEATURES": ["res2", "res3", "res4", "res5"],
+                "OUT_CHANNELS": 256, "NORM": "", "FUSE_TYPE": "sum",
+            },
+            "ANCHOR_GENERATOR": {
+                "NAME": "DefaultAnchorGenerator",
+                "SIZES": [[32], [64], [128], [256], [512]],
+                "ASPECT_RATIOS": [[0.5, 1.0, 2.0]],
+                "ANGLES": [[-90, 0, 90]], "OFFSET": 0.0,
+            },
+            "PROPOSAL_GENERATOR": {"NAME": "RPN", "MIN_SIZE": 0},
+            "RPN": {
+                "HEAD_NAME": "StandardRPNHead",
+                "IN_FEATURES": ["p2", "p3", "p4", "p5", "p6"],
+                "IOU_THRESHOLDS": [0.3, 0.7], "IOU_LABELS": [0, -1, 1],
+                "BATCH_SIZE_PER_IMAGE": 256, "POSITIVE_FRACTION": 0.5,
+                "BBOX_REG_WEIGHTS": (1.0, 1.0, 1.0, 1.0),
+                "SMOOTH_L1_BETA": 0.0, "LOSS_WEIGHT": 1.0,
+                "PRE_NMS_TOPK_TRAIN": 2000, "PRE_NMS_TOPK_TEST": pre_nms_topk_test,
+                "POST_NMS_TOPK_TRAIN": 1000, "POST_NMS_TOPK_TEST": post_nms_topk_test,
+                "NMS_THRESH": 0.7, "BOUNDARY_THRESH": -1,
+            },
+            "ROI_HEADS": {
+                "NAME": "StandardROIHeads", "NUM_CLASSES": num_classes,
+                "IN_FEATURES": ["p2", "p3", "p4", "p5"],
+                "IOU_THRESHOLDS": [0.5], "IOU_LABELS": [0, 1],
+                "BATCH_SIZE_PER_IMAGE": 512, "POSITIVE_FRACTION": 0.25,
+                "SCORE_THRESH_TEST": score_thresh, "NMS_THRESH_TEST": 0.5,
+                "PROPOSAL_APPEND_GT": True, "ENABLE_GAUSSIANNLLOSS": False,
+            },
+            "ROI_BOX_HEAD": {
+                "NAME": "FastRCNNConvFCHead", "NUM_FC": 2, "FC_DIM": 1024,
+                "NUM_CONV": 0, "CONV_DIM": 256, "NORM": "",
+                "POOLER_RESOLUTION": 7, "POOLER_SAMPLING_RATIO": 0,
+                "POOLER_TYPE": "ROIAlignV2",
+                "BBOX_REG_WEIGHTS": (10.0, 10.0, 5.0, 5.0),
+                "SMOOTH_L1_BETA": 0.0, "CLS_AGNOSTIC_BBOX_REG": False,
+                "TRAIN_ON_PRED_BOXES": False, "OUTPUT_LOGITS": False,
+            },
+            "ROI_MASK_HEAD": {
+                "POOLER_RESOLUTION": 14, "POOLER_SAMPLING_RATIO": 0,
+                "POOLER_TYPE": "ROIAlignV2",
+            },
+            "ROI_KEYPOINT_HEAD": {
+                "POOLER_RESOLUTION": 14, "POOLER_SAMPLING_RATIO": 0,
+                "POOLER_TYPE": "ROIAlignV2",
+            },
+        },
+    })
+
+
+def load_full_model():
+    """Load the reference's COMPOSED GeneralizedRCNN graph — real resnet.py,
+    fpn.py, anchor_generator.py, rpn.py, poolers.py, box_head.py,
+    roi_heads.py, postprocessing.py, meta_arch/rcnn.py — with only the
+    C-extension primitives stubbed (ROIAlign above, torchvision NMS,
+    registries). Returns a namespace with GeneralizedRCNN + make_ref_cfg."""
+    get()  # base stubs + shared modules (structures, fast_rcnn, rpn_outputs)
+
+    # extra stubs ------------------------------------------------------------
+    _mod("fvcore.nn.weight_init", c2_msra_fill=_c2_msra_fill,
+         c2_xavier_fill=_c2_xavier_fill)
+    sys.modules["fvcore.nn"].weight_init = sys.modules["fvcore.nn.weight_init"]
+    _mod("detectron2.utils.registry", Registry=_Registry)
+    _mod("detectron2.utils.logger", log_first_n=lambda *a, **k: None)
+    _mod("detectron2.utils.comm",
+         get_world_size=lambda: 1, is_main_process=lambda: True)
+
+    class _RoIPoolStub(torch.nn.Module):  # torchvision.ops.RoIPool, unused
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    sys.modules["torchvision.ops"].RoIPool = _RoIPoolStub
+
+    # real layer wrappers (Conv2d with norm/activation, interpolate, ...)
+    wrappers = _load_file(
+        "detectron2.layers.wrappers", f"{REF}/detectron2/layers/wrappers.py"
+    )
+    bn = _load_file(
+        "detectron2.layers.batch_norm", f"{REF}/detectron2/layers/batch_norm.py"
+    )
+    layers = sys.modules["detectron2.layers"]
+    for name in ("Conv2d", "ConvTranspose2d", "BatchNorm2d", "interpolate", "Linear"):
+        setattr(layers, name, getattr(wrappers, name))
+    layers.get_norm = bn.get_norm
+    layers.FrozenBatchNorm2d = bn.FrozenBatchNorm2d
+    layers.NaiveSyncBatchNorm = bn.NaiveSyncBatchNorm
+    layers.ROIAlign = _ROIAlignStub
+    layers.ROIAlignRotated = _RoIPoolStub  # imported by poolers, never built
+    layers.DeformConv = _RoIPoolStub  # imported by resnet, only built when
+    layers.ModulatedDeformConv = _RoIPoolStub  # DEFORM_ON_PER_STAGE is set
+    layers.paste_masks_in_image = lambda *a, **k: None
+
+    # structures: RotatedBoxes referenced by anchor_generator's rotated class
+    sys.modules["detectron2.structures"].RotatedBoxes = type(
+        "RotatedBoxes", (), {}
+    )
+
+    ns = types.SimpleNamespace()
+
+    # backbone family ---------------------------------------------------------
+    _mod("detectron2.modeling.backbone").__path__ = []
+    _load_file(
+        "detectron2.modeling.backbone.backbone",
+        f"{REF}/detectron2/modeling/backbone/backbone.py",
+    )
+    bbuild = _load_file(
+        "detectron2.modeling.backbone.build",
+        f"{REF}/detectron2/modeling/backbone/build.py",
+    )
+    ns.resnet = _load_file(
+        "detectron2.modeling.backbone.resnet",
+        f"{REF}/detectron2/modeling/backbone/resnet.py",
+    )
+    ns.fpn = _load_file(
+        "detectron2.modeling.backbone.fpn",
+        f"{REF}/detectron2/modeling/backbone/fpn.py",
+    )
+    mb = sys.modules["detectron2.modeling.backbone"]
+    mb.build_backbone = bbuild.build_backbone
+    mb.Backbone = sys.modules["detectron2.modeling.backbone.backbone"].Backbone
+
+    # anchor generator ---------------------------------------------------------
+    ns.anchor_generator = _load_file(
+        "detectron2.modeling.anchor_generator",
+        f"{REF}/detectron2/modeling/anchor_generator.py",
+    )
+
+    # proposal generator --------------------------------------------------------
+    pg_registry = _Registry("PROPOSAL_GENERATOR")
+    _mod(
+        "detectron2.modeling.proposal_generator.build",
+        PROPOSAL_GENERATOR_REGISTRY=pg_registry,
+        build_proposal_generator=lambda cfg, input_shape: pg_registry.get(
+            cfg.MODEL.PROPOSAL_GENERATOR.NAME
+        )(cfg, input_shape),
+    )
+    _load_file(
+        "detectron2.modeling.proposal_generator.proposal_utils",
+        f"{REF}/detectron2/modeling/proposal_generator/proposal_utils.py",
+    )
+    ns.rpn = _load_file(
+        "detectron2.modeling.proposal_generator.rpn",
+        f"{REF}/detectron2/modeling/proposal_generator/rpn.py",
+    )
+    pg = sys.modules["detectron2.modeling.proposal_generator"]
+    pg.build_proposal_generator = sys.modules[
+        "detectron2.modeling.proposal_generator.build"
+    ].build_proposal_generator
+
+    # roi heads -------------------------------------------------------------------
+    ns.poolers = _load_file(
+        "detectron2.modeling.poolers", f"{REF}/detectron2/modeling/poolers.py"
+    )
+    sys.modules["detectron2.modeling"].poolers = ns.poolers
+    ns.box_head = _load_file(
+        "detectron2.modeling.roi_heads.box_head",
+        f"{REF}/detectron2/modeling/roi_heads/box_head.py",
+    )
+    _mod(
+        "detectron2.modeling.roi_heads.keypoint_head",
+        build_keypoint_head=lambda *a, **k: None,
+    )
+    _mod(
+        "detectron2.modeling.roi_heads.mask_head",
+        build_mask_head=lambda *a, **k: None,
+    )
+    ns.roi_heads = _load_file(
+        "detectron2.modeling.roi_heads.roi_heads",
+        f"{REF}/detectron2/modeling/roi_heads/roi_heads.py",
+    )
+    rh = sys.modules["detectron2.modeling.roi_heads"]
+    rh.build_roi_heads = ns.roi_heads.build_roi_heads
+
+    # meta arch ---------------------------------------------------------------------
+    ns.postprocessing = _load_file(
+        "detectron2.modeling.postprocessing",
+        f"{REF}/detectron2/modeling/postprocessing.py",
+    )
+    sys.modules["detectron2.modeling"].postprocessing = ns.postprocessing
+    _mod("detectron2.modeling.meta_arch").__path__ = []
+    _mod(
+        "detectron2.modeling.meta_arch.build",
+        META_ARCH_REGISTRY=_Registry("META_ARCH"),
+    )
+    _load_file(
+        "detectron2.modeling.meta_arch.gaussian_blur",
+        f"{REF}/detectron2/modeling/meta_arch/gaussian_blur.py",
+    )
+    ns.rcnn = _load_file(
+        "detectron2.modeling.meta_arch.rcnn",
+        f"{REF}/detectron2/modeling/meta_arch/rcnn.py",
+    )
+    ns.GeneralizedRCNN = ns.rcnn.GeneralizedRCNN
+    ns.make_ref_cfg = make_ref_cfg
+    return ns
+
+
+_full_ns = None
+
+
+def get_full():
+    global _full_ns
+    if _full_ns is None:
+        _full_ns = load_full_model()
+    return _full_ns
