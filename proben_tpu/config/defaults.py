@@ -80,6 +80,10 @@ _DEFAULTS = {
             "CONV_DIM": 256,
             "POOLER_RESOLUTION": 7,
             "POOLER_SAMPLING_RATIO": 0,  # 0 = adaptive ceil(roi/P), reference default
+            # TPU addition: exact whole-map re-pool slots for out-of-window
+            # RoIs (aspect beyond ~6-8); beyond this count per image the
+            # windowed approximation is kept (ops/roi_align.py tiers)
+            "FALLBACK_CAPACITY": 32,
             "BBOX_REG_WEIGHTS": [10.0, 10.0, 5.0, 5.0],
             "SMOOTH_L1_BETA": 0.0,
             "CLS_AGNOSTIC_BBOX_REG": False,
@@ -183,6 +187,7 @@ def model_config_from_cfg(cfg: CfgNode):
             iou_threshold=m.ROI_HEADS.IOU_THRESHOLDS[0],
             pooler_resolution=m.ROI_BOX_HEAD.POOLER_RESOLUTION,
             pooler_sampling_ratio=m.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+            fallback_capacity=m.ROI_BOX_HEAD.get("FALLBACK_CAPACITY", 32),
         ),
         rcnn=FastRCNNConfig(
             num_classes=num_classes,

@@ -256,6 +256,7 @@ def rcnn_inference(
             cfg.roi.in_strides,
             cfg.roi.pooler_resolution,
             cfg.roi.pooler_sampling_ratio,
+            fallback_capacity=cfg.roi.fallback_capacity,
         )
 
         def predict(pooled_i, boxes_i, valid_i, size_i):
@@ -391,6 +392,7 @@ def pool_box_features_batched(features, boxes, cfg: "ModelConfig") -> Array:
             list(features), boxes, tuple(cfg.roi.in_strides),
             cfg.roi.pooler_resolution, cfg.roi.pooler_sampling_ratio, 2,
             cfg.roi.canonical_box_size, cfg.roi.canonical_level,
+            16, cfg.roi.fallback_capacity,
         )
     from .roi_heads import pool_box_features
 

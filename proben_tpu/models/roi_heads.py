@@ -40,6 +40,13 @@ class ROIHeadsConfig:
     in_strides: Tuple[int, ...] = (4, 8, 16, 32)  # p2..p5
     canonical_box_size: float = 224.0
     canonical_level: int = 4
+    # exact whole-map re-pooling capacity for out-of-window RoIs: the static
+    # window covers every box with aspect ratio in [1/6, 6] at any scale
+    # (measured sweep, tests/test_roi_align_overflow.py); slivers beyond
+    # aspect ~8 can overflow it. >capacity such RoIs in ONE image silently
+    # keep the window-clamped approximation; raise for datasets with many
+    # extreme slivers.
+    fallback_capacity: int = 32
 
 
 def label_and_sample_proposals(
@@ -101,6 +108,8 @@ def pool_box_features(
         2,  # min_level
         cfg.canonical_box_size,
         cfg.canonical_level,
+        16,  # s_max
+        cfg.fallback_capacity,
     )
 
 
