@@ -256,13 +256,16 @@ def bench_train():
             valid=jnp.asarray(np.ones((batch, g), bool)),
         ),
     }
-    init_state, step = make_train_step(mcfg, scfg)
+    params = retry_transient(jax.jit(lambda k: init_rcnn(k, mcfg)),
+                             jax.random.PRNGKey(0))
+    # same FREEZE_AT mask DefaultTrainer trains with (frozen backward is DCE'd)
+    from proben_tpu.models.resnet import freeze_mask
+
+    mask = jax.tree_util.tree_map(lambda _: True, params)
+    mask["backbone"] = freeze_mask(params["backbone"], cfg.MODEL.BACKBONE.FREEZE_AT)
+    init_state, step = make_train_step(mcfg, scfg, mask)
     step = jax.jit(step)
-    state = init_state(
-        retry_transient(jax.jit(lambda k: init_rcnn(k, mcfg)),
-                        jax.random.PRNGKey(0)),
-        jax.random.PRNGKey(7),
-    )
+    state = init_state(params, jax.random.PRNGKey(7))
     state, metrics = retry_transient(step, state, data)
     np.asarray(metrics["total_loss"])  # compile + sync
     iters = 12

@@ -56,7 +56,10 @@ class DefaultTrainer:
         seed = cfg.SEED if cfg.SEED >= 0 else 0
         key = jax.random.PRNGKey(seed)
         if params is None:
-            params = init_rcnn(key, self.model_cfg)
+            # jitted init: eager init_rcnn dispatches each param op separately,
+            # which costs ~3 min over the axon tunnel's ~33 ms RTT for R101;
+            # one compiled program does it in seconds (see bench.py).
+            params = jax.jit(lambda k: init_rcnn(k, self.model_cfg))(key)
             if cfg.MODEL.WEIGHTS:
                 logger.info("loading weights from %s", cfg.MODEL.WEIGHTS)
                 params = import_detectron2_checkpoint(

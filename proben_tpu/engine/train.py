@@ -65,6 +65,19 @@ def make_train_step(
         step_key = jax.random.fold_in(state.key, state.step)
 
         def loss_fn(params):
+            # Frozen params (FREEZE_AT / FREEZE_MODULES) are stop_gradient'd so
+            # XLA dead-code-eliminates their whole backward cone — the
+            # reference's ``requires_grad=False`` (resnet.py:488-495) means
+            # torch never backprops through res2/stem internals either; the
+            # optimizer mask alone computed those gradients and threw them
+            # away (~res2 dgrad at 200x256x256 was among the largest bwd
+            # fusions in the step trace).
+            if trainable_mask is not None:
+                params = jax.tree_util.tree_map(
+                    lambda p, t: p if t else jax.lax.stop_gradient(p),
+                    params,
+                    trainable_mask,
+                )
             losses = rcnn_train_losses(
                 params,
                 model_cfg,

@@ -126,6 +126,48 @@ def conv2d(
     return out[0] if squeeze else out
 
 
+def conv2d_stem_s2d(x: Array, params, dtype=None) -> Array:
+    """The 7x7/stride-2 stem conv (reference ``resnet.py`` BasicStem) computed
+    as an exact 4x4/stride-1 conv on 2x2 space-to-depth input.
+
+    Why: with C_in=3 the MXU sees 3/128 input-channel utilization and the stem
+    measured ~4 ms/step at batch 8 (largest single conv in the trace).
+    Space-to-depth packs each 2x2 pixel block into channels (C_in -> 4*C_in),
+    which quarters the spatial extent and quadruples utilization. The rewrite
+    is exact: pad the kernel to 8x8 at the front (one zero row/col, shifting
+    effective padding 3 -> 4), split tap index d = 2a + r, and fold r into
+    channels — the same products are summed, just grouped differently.
+    """
+    w = params["w"]  # (7, 7, C, O)
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, wd, c = x.shape
+    if w.shape[0] != 7 or w.shape[1] != 7 or h % 2 or wd % 2:
+        return conv2d(x[0] if squeeze else x, params, stride=2, padding=3, dtype=dtype)
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    o = w.shape[3]
+    w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w2 = w8.reshape(4, 2, 4, 2, c, o).transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, o)
+    x2 = (
+        x.reshape(n, h // 2, 2, wd // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, h // 2, wd // 2, 4 * c)
+    )
+    out = jax.lax.conv_general_dilated(
+        x2,
+        w2,
+        window_strides=(1, 1),
+        padding=[(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in params:
+        out = out + params["b"].astype(out.dtype)
+    return out[0] if squeeze else out
+
+
 def affine(x: Array, params) -> Array:
     """Per-channel scale + bias (folded FrozenBN)."""
     return x * params["scale"].astype(x.dtype) + params["bias"].astype(x.dtype)

@@ -22,7 +22,7 @@ from typing import Dict, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .layers import affine, conv2d, init_affine, init_conv, max_pool
+from .layers import affine, conv2d, conv2d_stem_s2d, init_affine, init_conv, max_pool
 
 Array = jnp.ndarray
 
@@ -115,7 +115,7 @@ def apply_resnet(
     each residual block (recompute activations in backward) — trades ~30%
     step time for the memory to fit large training batches."""
     out: Dict[str, Array] = {}
-    h = conv2d(x, params["stem"]["conv1"], stride=2, padding=3, dtype=dtype)
+    h = conv2d_stem_s2d(x, params["stem"]["conv1"], dtype=dtype)
     h = jax.nn.relu(affine(h, params["stem"]["norm1"]))
     h = max_pool(h, 3, 2, padding=1)
     if freeze_at >= 1:

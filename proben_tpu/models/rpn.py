@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..ops.box_transform import apply_deltas, get_deltas
 from ..ops.matcher import match
 from ..ops.nms import nms_mask
-from ..ops.sampling import subsample_labels
+from ..ops.sampling import sample_topk_indices
 from ..structures.boxes import clip_boxes, nonempty_boxes, pairwise_iou
 from .layers import conv2d, init_conv
 
@@ -64,18 +64,32 @@ def apply_rpn_head(
 ) -> Tuple[List[Array], List[Array]]:
     """Shared head over levels. Each feature (N, H, W, C).
 
-    Returns per level: logits (N, H*W*A) and deltas (N, H*W*A, 4), flattened
-    in (H, W, A) order.
+    Returns per level: logits (N, H*W*A) and deltas (N, H*W, A*4), both in
+    (H, W, A) order — anchor index ``i`` maps to deltas row ``i // A``, inner
+    offset ``i % A``. Deltas stay in the conv's (..., A*4) minor layout: a
+    full (H*W*A, 4) reshape retiles the minor dim and cost ~1.1 ms/step at
+    batch 8, only for a few thousand rows to be gathered downstream (see
+    ``gather_deltas``).
     """
     logits, deltas = [], []
     for f in features:
         t = jax.nn.relu(conv2d(f, params["conv"], stride=1, padding=1, dtype=dtype))
         o = conv2d(t, params["objectness"], stride=1, padding=0, dtype=dtype)
         d = conv2d(t, params["deltas"], stride=1, padding=0, dtype=dtype)
-        n = f.shape[0]
+        n, h, w, _ = f.shape
         logits.append(o.reshape(n, -1).astype(jnp.float32))
-        deltas.append(d.reshape(n, -1, 4).astype(jnp.float32))
+        deltas.append(d.reshape(n, h * w, -1).astype(jnp.float32))
     return logits, deltas
+
+
+def gather_deltas(deltas_hw: Array, idx: Array) -> Array:
+    """Gather (k, 4) anchor deltas from the (H*W, A*4) head layout by flat
+    (H, W, A)-order anchor indices. Valid for concatenated levels too, since
+    per-level offsets are multiples of A."""
+    a = deltas_hw.shape[-1] // 4
+    rows = deltas_hw[idx // a]  # (k, A*4)
+    k = idx.shape[0]
+    return rows.reshape(k, a, 4)[jnp.arange(k), idx % a]
 
 
 def _decode_level_proposals(deltas: Array, anchors: Array) -> Array:
@@ -85,7 +99,7 @@ def _decode_level_proposals(deltas: Array, anchors: Array) -> Array:
 
 def find_top_proposals(
     logits: Sequence[Array],  # per level (HWA,) — single image
-    deltas: Sequence[Array],  # per level (HWA, 4)
+    deltas: Sequence[Array],  # per level (HW, A*4), apply_rpn_head layout
     anchors: Sequence[Array],  # per level (HWA, 4)
     image_size: Tuple[Array, Array],  # true (h, w), may be traced
     pre_nms_topk: int,
@@ -101,7 +115,7 @@ def find_top_proposals(
     for lg, dl, an in zip(logits, deltas, anchors):
         k = min(pre_nms_topk, lg.shape[0])
         top_scores, top_idx = jax.lax.top_k(lg, k)
-        boxes = _decode_level_proposals(dl[top_idx], an[top_idx])
+        boxes = _decode_level_proposals(gather_deltas(dl, top_idx), an[top_idx])
         boxes = clip_boxes(boxes, image_size)
         valid = nonempty_boxes(boxes, min_box_side_len)
         keep = nms_mask(boxes, top_scores, valid, nms_thresh)
@@ -150,7 +164,7 @@ def label_anchors_idx(
 
 def rpn_losses(
     logits: Sequence[Array],  # per level (HWA,) — single image
-    deltas: Sequence[Array],  # per level (HWA, 4)
+    deltas: Sequence[Array],  # per level (HW, A*4), apply_rpn_head layout
     anchors: Sequence[Array],
     gt_boxes: Array,
     gt_valid: Array,
@@ -168,18 +182,17 @@ def rpn_losses(
     )
     # images with no valid gt: all anchors become background (matcher handles),
     # positives only exist when gt exists.
-    labels = subsample_labels(labels, cfg.batch_size_per_image, cfg.positive_fraction, key)
 
     normalizer = float(cfg.batch_size_per_image)
 
-    # gather the <= batch_size_per_image sampled anchors, positives first —
-    # all target math then runs on ~256 rows instead of all 204k anchors
-    # (the full-anchor gather + delta encode + masked BCE cost ~15 ms/step)
-    ns = min(cfg.batch_size_per_image, int(labels.shape[0]))
-    _, sel = jax.lax.top_k(labels.astype(jnp.float32), ns)
-    sel_labels = labels[sel]
-    pos_s = sel_labels == 1
-    sampled_s = sel_labels >= 0
+    # sample directly to a <= batch_size_per_image index set, positives
+    # first — all target math then runs on ~256 rows instead of all 204k
+    # anchors (the full-anchor gather + delta encode + masked BCE cost
+    # ~15 ms/step), and sample_topk_indices' fused formulation is one
+    # random vector + two bounded top-ks instead of three
+    sel, pos_s, sampled_s = sample_topk_indices(
+        labels, cfg.batch_size_per_image, cfg.positive_fraction, key
+    )
 
     # objectness: BCE with logits over sampled anchors
     sel_logits = cat_logits[sel]
@@ -191,7 +204,7 @@ def rpn_losses(
 
     # localization: smooth-l1 (beta=0 -> pure L1) on positives
     gt_deltas = get_deltas(cat_anchors[sel], gt_boxes[matched_idx[sel]])
-    diff = cat_deltas[sel] - gt_deltas
+    diff = gather_deltas(cat_deltas, sel) - gt_deltas
     if cfg.smooth_l1_beta > 0:
         ad = jnp.abs(diff)
         per_coord = jnp.where(

@@ -54,7 +54,11 @@ def nms_mask(boxes: Array, scores: Array, valid: Array, iou_threshold: float) ->
     # suppression candidates: earlier (higher score) row i may suppress later col j
     tri = jnp.triu(jnp.ones((n, n), bool), k=1)
     suppress = (iou > iou_threshold) & tri & svalid[:, None] & svalid[None, :]
-    suppress_f = suppress.astype(jnp.float32)
+    # bf16 is exact for a 0/1 matrix and halves the matvec traffic; the
+    # barrier pins the matrix OUTSIDE the fixpoint loop — without it XLA
+    # rematerializes the (now fully fused) IoU inside every iteration,
+    # turning each matvec into a 2000x2000 IoU recompute (~0.7 ms/iter).
+    suppress_f = jax.lax.optimization_barrier(suppress.astype(jnp.bfloat16))
 
     def cond(state):
         keep, changed, it = state
@@ -63,7 +67,7 @@ def nms_mask(boxes: Array, scores: Array, valid: Array, iou_threshold: float) ->
     def body(state):
         keep, _, it = state
         # suppressed[j] = any_i keep[i] * suppress[i, j]
-        suppressed = (keep.astype(jnp.float32) @ suppress_f) > 0.5
+        suppressed = (keep.astype(jnp.bfloat16) @ suppress_f) > 0.5
         new_keep = svalid & ~suppressed
         return new_keep, jnp.any(new_keep != keep), it + 1
 

@@ -46,10 +46,17 @@ from .roi_align import (
 
 Array = jnp.ndarray
 
-# reduced DMA extents for RoIs whose weight span fits (class = tall*2 + wide);
-# WIN_X2 must stay 16-aligned (bf16 sublane tile, same constraint as x0)
-WIN_Y2 = WIN_Y // 2
+# reduced DMA extents for RoIs whose weight span fits: the kernel is
+# window-DMA-bandwidth-bound, so the copied extent per RoI is the smallest
+# (y, x) class covering its exact weight span. x extents stay 16-aligned
+# (bf16 sublane tile, same constraint as x0); y (third-minor) is free.
+# Canonical-band RoIs span ~16-30 cells per axis, so the fine classes
+# (y=16, x=32) carry most of the traffic.
+Y_EXTENTS = (16, WIN_Y // 2, WIN_Y)  # 16, 28, 56
+X_EXTENTS = (32, 48, WIN_X)  # 32, 48, 64
+WIN_Y2 = WIN_Y // 2  # kept for importers
 WIN_X2 = 48
+DMA_SIZES = tuple((ny, nx) for ny in Y_EXTENTS for nx in X_EXTENTS)
 
 
 def feats_dtype_size(dtype) -> int:
@@ -57,15 +64,16 @@ def feats_dtype_size(dtype) -> int:
 
 
 def window_size_classes(wy: Array, wx: Array) -> Array:
-    """(N,) int32 size class from the exact weight spans: 0 = (WIN_Y2,
-    WIN_X2) ... 3 = full window. All-zero rows (padding) map to full."""
+    """(N,) int32 index into ``DMA_SIZES``: the smallest (y, x) extent class
+    covering the RoI's exact weight span. All-zero rows (padding) map to the
+    largest class (their weights are all zero, so any extent is correct)."""
     used_y = jnp.any(wy != 0, axis=1)  # (N, WIN_Y)
     used_x = jnp.any(wx != 0, axis=1)
     span_y = wy.shape[-1] - jnp.argmax(used_y[:, ::-1].astype(jnp.int32), axis=1)
     span_x = wx.shape[-1] - jnp.argmax(used_x[:, ::-1].astype(jnp.int32), axis=1)
-    tall = span_y > WIN_Y2
-    wide = span_x > WIN_X2
-    return (tall.astype(jnp.int32) * 2 + wide.astype(jnp.int32)).astype(jnp.int32)
+    iy = sum((span_y > e).astype(jnp.int32) for e in Y_EXTENTS[:-1])
+    ix = sum((span_x > e).astype(jnp.int32) for e in X_EXTENTS[:-1])
+    return (iy * len(X_EXTENTS) + ix).astype(jnp.int32)
 
 
 def _kernel(
@@ -93,7 +101,7 @@ def _kernel(
     c = out_ref.shape[-1]
     p = out_ref.shape[1]
 
-    SIZES = ((WIN_Y2, WIN_X2), (WIN_Y2, WIN_X), (WIN_Y, WIN_X2), (WIN_Y, WIN_X))
+    SIZES = DMA_SIZES
 
     def start_dma(roi, slot):
         """Kick off the window DMA for RoI ``roi`` into buffer ``slot``.
@@ -264,7 +272,7 @@ def multilevel_roi_align_pallas(
         lvl_idx_k = jnp.pad(lvl_idx, pad1)
         y0w = jnp.pad(y0w, pad1)
         x0w = jnp.pad(x0w, pad1)
-        size_cls = jnp.pad(size_cls, pad1, constant_values=3)
+        size_cls = jnp.pad(size_cls, pad1, constant_values=len(DMA_SIZES) - 1)
         wy = jnp.pad(wy, pad1 + [(0, 0)] * 2)
         wx = jnp.pad(wx, pad1 + [(0, 0)] * 2)
     else:

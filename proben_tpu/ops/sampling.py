@@ -62,21 +62,41 @@ def sample_topk_indices(
 ) -> Tuple[Array, Array, Array]:
     """Fixed-size sampled index set, positives first.
 
+    Ordering eligible elements by iid uniform priorities is a uniform random
+    permutation, so the first ``num_pos`` positives (resp. ``num_neg``
+    negatives) of the two top-k lists are exactly the reference's uniform
+    subsets (``sampling.py:7``) — one random vector + two bounded top-ks
+    replace the earlier three-top-k formulation (~1.3 ms each at 204k anchors
+    x batch 8). Sharing one priority vector between positives and negatives is
+    sound: the supports are disjoint, and disjoint coordinates of an iid
+    vector are independent.
+
     Returns:
         idx: (num_samples,) int32 indices into the input (unused slots -> 0)
         sampled_is_pos: (num_samples,) bool
         sampled_valid: (num_samples,) bool
     """
-    sampled = subsample_labels(labels, num_samples, positive_fraction, key)
-    is_pos = sampled == 1
-    is_neg = sampled == 0
-    chosen = is_pos | is_neg
-    # priority: positives (0..1), then negatives (1..2), others huge
     n = labels.shape[0]
-    rand = jax.random.uniform(jax.random.fold_in(key, 1), (n,))
-    priority = jnp.where(is_pos, rand, jnp.where(is_neg, 1.0 + rand, 1e9))
-    _, idx = jax.lax.top_k(-priority, num_samples)
-    idx = idx.astype(jnp.int32)
-    sampled_valid = chosen[idx]
+    pos_mask = labels == 1
+    neg_mask = labels == 0
+    rand = jax.random.uniform(key, (n,))
+    k = min(num_samples, n)
+
+    pos_count = jnp.sum(pos_mask.astype(jnp.int32))
+    neg_count = jnp.sum(neg_mask.astype(jnp.int32))
+    num_pos = jnp.minimum(pos_count, int(num_samples * positive_fraction))
+    num_neg = jnp.minimum(neg_count, num_samples - num_pos)
+
+    _, pidx = jax.lax.top_k(jnp.where(pos_mask, rand, -1.0), k)
+    _, nidx = jax.lax.top_k(jnp.where(neg_mask, rand, -1.0), k)
+
+    j = jnp.arange(num_samples)
+    take_pos = j < num_pos
+    idx = jnp.where(
+        take_pos,
+        pidx[jnp.minimum(j, k - 1)],
+        nidx[jnp.clip(j - num_pos, 0, k - 1)],
+    ).astype(jnp.int32)
+    sampled_valid = j < (num_pos + num_neg)
     idx = jnp.where(sampled_valid, idx, 0)
-    return idx, is_pos[idx] & sampled_valid, sampled_valid
+    return idx, take_pos & sampled_valid, sampled_valid

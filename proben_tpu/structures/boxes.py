@@ -67,11 +67,20 @@ def nonempty_boxes(boxes: Array, threshold: float = 0.0) -> Array:
 
 
 def pairwise_intersection(boxes1: Array, boxes2: Array) -> Array:
-    """Intersection areas between all pairs: (N, 4) x (M, 4) -> (N, M)."""
-    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])  # (N, M, 2)
-    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])  # (N, M, 2)
-    wh = jnp.clip(rb - lt, 0, None)
-    return wh[..., 0] * wh[..., 1]
+    """Intersection areas between all pairs: (N, 4) x (M, 4) -> (N, M).
+
+    Computed per coordinate: a stacked (N, M, 2) lt/rb intermediate forced
+    XLA to materialize 1.3 GB/step at RPN scale (204k anchors x 100 gt x
+    batch 8); with only (N, M) values the whole expression fuses into the
+    IoU consumer.
+    """
+    iw = jnp.minimum(boxes1[:, None, 2], boxes2[None, :, 2]) - jnp.maximum(
+        boxes1[:, None, 0], boxes2[None, :, 0]
+    )
+    ih = jnp.minimum(boxes1[:, None, 3], boxes2[None, :, 3]) - jnp.maximum(
+        boxes1[:, None, 1], boxes2[None, :, 1]
+    )
+    return jnp.clip(iw, 0, None) * jnp.clip(ih, 0, None)
 
 
 def pairwise_iou(boxes1: Array, boxes2: Array) -> Array:

@@ -125,3 +125,30 @@ def test_picklable_wrapper():
     assert w([1, 2, 3]) == 3
     w2 = pickle.loads(pickle.dumps(w))
     assert w2([1]) == 1
+
+
+def test_stem_space_to_depth_exact():
+    """conv2d_stem_s2d is an exact rewrite of the 7x7/s2/p3 stem conv
+    (reference resnet.py BasicStem) — same sums, regrouped for the MXU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from proben_tpu.models.layers import conv2d, conv2d_stem_s2d, init_conv
+
+    key = jax.random.PRNGKey(3)
+    for h, w, c in [(64, 96, 3), (32, 32, 4)]:
+        p = init_conv(jax.random.fold_in(key, h), 7, 7, c, 16)
+        x = jax.random.normal(jax.random.fold_in(key, w), (2, h, w, c))
+        ref = conv2d(x, p, stride=2, padding=3)
+        got = conv2d_stem_s2d(x, p)
+        assert got.shape == ref.shape == (2, h // 2, w // 2, 16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    # odd spatial size falls back to the direct conv
+    x_odd = jax.random.normal(key, (1, 31, 32, 3))
+    p = init_conv(key, 7, 7, 3, 8)
+    np.testing.assert_allclose(
+        np.asarray(conv2d_stem_s2d(x_odd, p)),
+        np.asarray(conv2d(x_odd, p, stride=2, padding=3)),
+        rtol=1e-5, atol=1e-5,
+    )
