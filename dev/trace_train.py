@@ -4,6 +4,11 @@ import glob, gzip, json, os, time
 import numpy as np
 import jax, jax.numpy as jnp
 
+_cache = os.path.expanduser("~/.cache/proben_tpu_xla_tpu")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 from proben_tpu.config import get_cfg, model_config_from_cfg, solver_config_from_cfg
 from proben_tpu.engine import make_train_step
 from proben_tpu.models import init_rcnn
@@ -29,12 +34,26 @@ data = {
         valid=jnp.asarray(np.ones((batch, g), bool)),
     ),
 }
-init_state, step = make_train_step(mcfg, scfg)
+# same FREEZE_AT mask DefaultTrainer/bench train with (frozen bwd is DCE'd)
+from proben_tpu.models.resnet import freeze_mask
+
+params = jax.jit(lambda k: init_rcnn(k, mcfg))(jax.random.PRNGKey(0))
+mask = jax.tree_util.tree_map(lambda _: True, params)
+mask["backbone"] = freeze_mask(params["backbone"], cfg.MODEL.BACKBONE.FREEZE_AT)
+init_state, step = make_train_step(mcfg, scfg, mask)
 import jax as _j
-state = init_state(init_rcnn(jax.random.PRNGKey(0), mcfg), jax.random.PRNGKey(7))
+state = init_state(params, jax.random.PRNGKey(7))
 step = _j.jit(step)
 state, metrics = step(state, data)
 np.asarray(metrics["total_loss"])
+# pipelined throughput: dispatch N dependent steps, sync once at the end
+N = 20
+t0 = time.time()
+for _ in range(N):
+    state, metrics = step(state, data)
+np.asarray(metrics["total_loss"])
+dt = (time.time() - t0) / N
+print(f"train: {dt:.3f} s/iter, {batch / dt:.2f} img/s")
 os.makedirs("/tmp/ttrace", exist_ok=True)
 with jax.profiler.trace("/tmp/ttrace"):
     for i in range(4):

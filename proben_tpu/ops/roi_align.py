@@ -492,20 +492,17 @@ def wholemap_roi_align_grad(features, boxes, g, strides, output_size,
     lvl_idx = levels - min_level
     y1, x1, bin_h, bin_w = _roi_geometry(boxes, lvl_idx, strides, p)
 
-    ch = min(k, box_chunk or 128)
-    n_pad = (-k) % ch
-    n_chunks = (k + n_pad) // ch
+    # The (ch, W_l, P, C) intermediate ``u`` is pure HBM traffic and each
+    # chunk's accumulator step round-trips the full f32 (H, W, C) map, so the
+    # chunk size trades transient memory against accumulator traffic. The
+    # budget admits K=512 x the P2 map in ONE chunk (u = 235 MB bf16 per
+    # image, 1.9 GB under a batch-8 vmap) so NO level pays an f32 accumulator
+    # round-trip; shapes beyond it (e.g. C=512 middle fusion at P2) chunk.
+    U_ELEM_BUDGET = 512 * 256 * 7 * 256
 
-    def padded(a, fill=0.0):
+    def padded(a, n_pad, fill=0.0):
         cfg = [(0, n_pad)] + [(0, 0)] * (a.ndim - 1)
         return jnp.pad(a, cfg, constant_values=fill)
-
-    g_p = padded(g).reshape(n_chunks, ch, p, p, -1)
-    y1_p = padded(y1).reshape(n_chunks, ch)
-    x1_p = padded(x1).reshape(n_chunks, ch)
-    bh_p = padded(bin_h).reshape(n_chunks, ch)
-    bw_p = padded(bin_w).reshape(n_chunks, ch)
-    lvl_p = padded(lvl_idx, fill=-1).reshape(n_chunks, ch)
 
     dfs = []
     for li, f in enumerate(features):
@@ -513,9 +510,19 @@ def wholemap_roi_align_grad(features, boxes, g, strides, output_size,
         s_hi_y = max(sampling_ratio, -(-h // p) + 2)
         s_hi_x = max(sampling_ratio, -(-w // p) + 2)
         dt = f.dtype
+
+        ch = min(k, box_chunk or max(1, U_ELEM_BUDGET // (w * p * c)))
+        n_pad = (-k) % ch
+        n_chunks = (k + n_pad) // ch
+        g_p = padded(g, n_pad).reshape(n_chunks, ch, p, p, -1)
+        y1_p = padded(y1, n_pad).reshape(n_chunks, ch)
+        x1_p = padded(x1, n_pad).reshape(n_chunks, ch)
+        bh_p = padded(bin_h, n_pad).reshape(n_chunks, ch)
+        bw_p = padded(bin_w, n_pad).reshape(n_chunks, ch)
+        lvl_p = padded(lvl_idx, n_pad, fill=-1).reshape(n_chunks, ch)
         zero = jnp.zeros((ch,), jnp.int32)
 
-        acc = jnp.zeros((h, w, c), jnp.float32)
+        acc = None
         for i in range(n_chunks):
             gc = g_p[i]
             wyg, _ = axis_weights(
@@ -535,11 +542,12 @@ def wholemap_roi_align_grad(features, boxes, g, strides, output_size,
                 preferred_element_type=dt,
             )  # (ch, w, p, c)
             # dF[y, x, c] += sum_{k, p} wyg[k, p, y] u[k, x, p, c]
-            acc = acc + jax.lax.dot_general(
+            part = jax.lax.dot_general(
                 wyg.astype(dt), u,
                 dimension_numbers=(((0, 1), (0, 2)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            acc = part if acc is None else acc + part
         dfs.append(acc.astype(f.dtype))
 
     if isinstance(features, (list, tuple)):
