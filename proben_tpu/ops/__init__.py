@@ -7,6 +7,7 @@ from .roi_align import (
     single_level_roi_align,
 )
 from .sampling import sample_topk_indices, subsample_labels
+from .topk import topk
 
 __all__ = [
     "SCALE_CLAMP",
@@ -20,5 +21,6 @@ __all__ = [
     "roi_level_assignment",
     "single_level_roi_align",
     "sample_topk_indices",
+    "topk",
     "subsample_labels",
 ]
