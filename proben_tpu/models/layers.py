@@ -128,42 +128,43 @@ def conv2d(
 
 def conv2d_stem_s2d(x: Array, params, dtype=None) -> Array:
     """The 7x7/stride-2 stem conv (reference ``resnet.py`` BasicStem) computed
-    as an exact 4x4/stride-1 conv on 2x2 space-to-depth input.
+    as an exact 7x4/(2,1) conv on WIDTH-ONLY 2x space-to-depth input.
 
-    Why: with C_in=3 the MXU sees 3/128 input-channel utilization and the stem
+    Why: with C_in=3 the MXU sees tiny input-channel utilization and the stem
     measured ~4 ms/step at batch 8 (largest single conv in the trace).
-    Space-to-depth packs each 2x2 pixel block into channels (C_in -> 4*C_in),
-    which quarters the spatial extent and quadruples utilization. The rewrite
-    is exact: pad the kernel to 8x8 at the front (one zero row/col, shifting
-    effective padding 3 -> 4), split tap index d = 2a + r, and fold r into
-    channels — the same products are summed, just grouped differently.
+    Packing pixel PAIRS along W into channels (C_in -> 2*C_in) doubles the
+    contraction depth — and because (W-pair, channel) are ADJACENT in NHWC
+    memory, the packing is a FREE reshape. The earlier 2x2 (H and W) packing
+    reached 4*C_in but its H interleave is a real transpose that lowered to
+    ~2 ms/step of layout copies (and blocked the upstream f32 normalize +
+    bf16 convert from fusing); width-only wins end to end.
+
+    Exactness: pad the kernel's x taps to 8 at the front (one zero column,
+    shifting effective x padding 3 -> 4), split tap index dx = 2a + r, and
+    fold r into channels — the same products are summed, just regrouped.
     """
     w = params["w"]  # (7, 7, C, O)
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
     n, h, wd, c = x.shape
-    if w.shape[0] != 7 or w.shape[1] != 7 or h % 2 or wd % 2:
+    if w.shape[0] != 7 or w.shape[1] != 7 or wd % 2:
         return conv2d(x[0] if squeeze else x, params, stride=2, padding=3, dtype=dtype)
     if dtype is not None:
-        x = x.astype(dtype)
         w = w.astype(dtype)
     o = w.shape[3]
-    w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
-    w2 = w8.reshape(4, 2, 4, 2, c, o).transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, o)
-    # NOTE: concat-of-strided-slices looks fusion-friendlier than this
-    # reshape/transpose/reshape but measured WORSE (four unfused 1.66 ms
-    # stride-2 slice kernels vs ~2 ms of layout copies here).
-    x2 = (
-        x.reshape(n, h // 2, 2, wd // 2, 2, c)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(n, h // 2, wd // 2, 4 * c)
-    )
+    w8 = jnp.pad(w, ((0, 0), (1, 0), (0, 0), (0, 0)))  # (7, 8, C, O)
+    w2 = w8.reshape(7, 4, 2 * c, o)  # x-tap fold (a, (r, c)) — layout-exact
+    x2 = x.reshape(n, h, wd // 2, 2 * c)  # free: (W-pair, C) adjacent in NHWC
+    if dtype is not None:
+        # the convert (and the f32 normalize upstream) fuse into one
+        # elementwise kernel — no layout copy exists in this stem at all
+        x2 = x2.astype(dtype)
     out = jax.lax.conv_general_dilated(
         x2,
         w2,
-        window_strides=(1, 1),
-        padding=[(2, 1), (2, 1)],
+        window_strides=(2, 1),
+        padding=[(3, 3), (2, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     if "b" in params:

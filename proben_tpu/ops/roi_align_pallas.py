@@ -50,8 +50,13 @@ Array = jnp.ndarray
 # window-DMA-bandwidth-bound, so the copied extent per RoI is the smallest
 # (y, x) class covering its exact weight span. x extents stay 16-aligned
 # (bf16 sublane tile, same constraint as x0); y (third-minor) is free.
-# Canonical-band RoIs span ~16-30 cells per axis, so the fine classes
-# (y=16, x=32) carry most of the traffic.
+# Class-grid sizing is NOT bytes-bound beyond this point: at bench
+# conditions (R101 800x1024, calibrated proposals; span_y p50=7, span_x
+# p50=15 incl. alignment slack) a finer 5x4 grid cuts the average copied
+# window 371 KB -> 201 KB yet measured SLOWER (18.1 vs 16.7 ms/8192 RoIs) —
+# the kernel is bound by the per-RoI fixed cost (scalar-core branch tree +
+# DMA issue latency), and more classes means a deeper branch tree. 3x3 is
+# the measured optimum.
 Y_EXTENTS = (16, WIN_Y // 2, WIN_Y)  # 16, 28, 56
 X_EXTENTS = (32, 48, WIN_X)  # 32, 48, 64
 WIN_Y2 = WIN_Y // 2  # kept for importers
@@ -278,14 +283,21 @@ def multilevel_roi_align_pallas(
     else:
         lvl_idx_k = lvl_idx
 
-    # block-diagonal y-weights per r-group: (G, r*P, r*WIN_Y)
+    # block-diagonal y-weights per r-group: (G, r*P, r*WIN_Y). Built with
+    # pad+concat (one fusion) — the .at[].set form lowered to a 1.8 ms
+    # dynamic-update-slice at batch-8 inference.
     g = (n + n_pad) // r
     wy_g = wy.reshape(g, r, p, WIN_Y)
-    wyb = jnp.zeros((g, r * p, r * WIN_Y), wy.dtype)
-    for j in range(r):
-        wyb = wyb.at[:, j * p : (j + 1) * p, j * WIN_Y : (j + 1) * WIN_Y].set(
-            wy_g[:, j]
-        )
+    wyb = jnp.concatenate(
+        [
+            jnp.pad(
+                wy_g[:, j],
+                [(0, 0), (0, 0), (j * WIN_Y, (r - 1 - j) * WIN_Y)],
+            )
+            for j in range(r)
+        ],
+        axis=1,
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,

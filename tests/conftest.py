@@ -27,4 +27,8 @@ jax.config.update("jax_platforms", "cpu")
 _cache_dir = os.path.expanduser("~/.cache/proben_tpu_xla")
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+# cache even sub-second compiles: the suite's wall time is dominated by many
+# small-to-medium model compiles (a 5 s floor left most of them uncached —
+# 15 entries after a full run; the floor exists to bound disk, and the CPU
+# cache stays tens of MB even at 1 s)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
