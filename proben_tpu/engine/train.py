@@ -95,24 +95,24 @@ def make_train_step(
         )
         params = optax.apply_updates(state.params, updates)
 
-        # one packed |g| sum instead of a per-leaf isfinite reduce: hundreds
-        # of tiny reduce kernels cost ~10 ms/step in launch overhead alone;
-        # any inf/nan leaf makes the packed sum non-finite (legit |grad| sums
-        # are ~1e5, nowhere near f32 overflow)
-        grads_abs_sum = sum(
-            jnp.sum(jnp.abs(g.astype(jnp.float32)))
-            for g in jax.tree_util.tree_leaves(grads)
-        )
-        finite = jnp.isfinite(total) & jnp.isfinite(grads_abs_sum)
-        # NaN guard: keep old params AND momentum if loss/grads are non-finite
-        params = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(finite, new, old), params, state.params
-        )
+        # NaN guard, two layers — and ZERO extra passes over the gradients
+        # (a per-leaf |g|-sum guard compiled to ~300 separate reduce kernels,
+        # several ms/step of launch overhead):
+        #  * global: non-finite TOTAL LOSS rolls the whole step back — the
+        #    reference's ``_detect_anomaly`` scope (train_loop.py:236).
+        #  * element-wise: any non-finite updated entry (e.g. a bf16 overflow
+        #    in one grad leaf while the loss stayed finite) keeps its OLD
+        #    param/momentum value; the isfinite fuses into the rollback
+        #    ``where`` the guard needs anyway.
+        finite = jnp.isfinite(total)
+
+        def guard(new, old):
+            return jnp.where(finite & jnp.isfinite(new), new, old)
+
+        params = jax.tree_util.tree_map(guard, params, state.params)
         opt_state = dict(opt_state)
         opt_state["momentum"] = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(finite, new, old),
-            opt_state["momentum"],
-            state.opt_state["momentum"],
+            guard, opt_state["momentum"], state.opt_state["momentum"]
         )
         metrics = dict(losses)
         metrics["total_loss"] = total
