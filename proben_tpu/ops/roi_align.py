@@ -55,6 +55,13 @@ Array = jnp.ndarray
 WIN_Y = 56
 WIN_X = 64
 X_ALIGN = 16
+# y origins are aligned too (costing <= Y_ALIGN-1 rows of window slack) so
+# that RoIs clustered on the same object share EXACT window descriptors —
+# the Pallas kernel dedups identical windows across sorted RoIs, and origin
+# alignment raises the duplicate rate from ~36% (align 1) to ~71% (align 8)
+# at bench conditions (kernel 14.9 -> 13.4 ms/8192 RoIs; align 4 = 13.8).
+# Outputs are invariant to the origin shift (weights are window-relative).
+Y_ALIGN = 8
 
 
 def roi_level_assignment(
@@ -328,7 +335,9 @@ def build_window_weights(
     else:
         gy = jnp.clip(jnp.ceil(bin_h), 1.0, float(s_max))
         gx = jnp.clip(jnp.ceil(bin_w), 1.0, float(s_max))
-    y0 = window_origin(y1 + 0.5 / gy * bin_h, h_l, pad_heights[lvl_idx], WIN_Y)
+    y0 = window_origin(
+        y1 + 0.5 / gy * bin_h, h_l, pad_heights[lvl_idx], WIN_Y, align=Y_ALIGN
+    )
     x0 = window_origin(
         x1 + 0.5 / gx * bin_w, w_l, pad_widths[lvl_idx], WIN_X, align=X_ALIGN
     )

@@ -85,13 +85,15 @@ def _kernel(
     nslot,
     r,  # RoIs per grid step (amortizes the fixed per-step overhead)
     # scalar prefetch
-    img_ref,  # (N,) image index per roi
+    img_ref,  # (N,) image index per roi (HOST-SORTED window order)
     lvl_ref,  # (N,) level index per roi
     y0_ref,  # (N,) window origin rows
     x0_ref,  # (N,) window origin cols
-    cls_ref,  # (N,) window size class: tall*2 + wide
+    cls_ref,  # (N,) window size class index into DMA_SIZES
+    dma_ref,  # (N,) dma index per roi: D[q] = index of roi q's window copy
+    order_ref,  # (N,) roi index of the d-th DMA (inverse of D on run leaders)
     # inputs
-    wyb_ref,  # (1, r*P, r*WIN_Y) BLOCK-DIAGONAL y weights for the step's rois
+    wyb_ref,  # (1, r*P, r*WIN_Y) y weights: block-diag (pair) or left-stacked (dup)
     wx_ref,  # (r, P, WIN_X) x weights
     f0_ref, f1_ref, f2_ref, f3_ref,  # level features (B, H_l, W_l, C) in ANY
     # output
@@ -100,6 +102,18 @@ def _kernel(
     win_ref,  # (nslot, WIN_Y, WIN_X, C) VMEM
     sem,
 ):
+    """Windowed-DMA pooling with DUPLICATE-WINDOW SKIPPING.
+
+    The host sorts RoIs by (img, lvl, y0, x0, cls) so RoIs sharing one exact
+    window become adjacent runs; only each run's LEADER fetches the window
+    (one DMA per distinct window, slot = dma_index % nslot). The kernel is
+    per-RoI-issue-cost-bound (docs/PERF.md), and at bench conditions ~36% of
+    RoIs continue a duplicate run (~61% with Y_ALIGN=4) — proposals cluster
+    on objects — so skipping duplicate fetches attacks the dominant cost
+    directly. Slot-overwrite safety is unchanged from the dense rotation:
+    DMA d+nslot is issued at least one grid step AFTER the step that waits
+    on (and last reads) DMA d, because issue windows advance with D.
+    """
     i = pl.program_id(0)
     n = pl.num_programs(0) * r  # total rois (host pads to a multiple of r)
 
@@ -107,18 +121,18 @@ def _kernel(
     p = out_ref.shape[1]
 
     SIZES = DMA_SIZES
+    NSLOT = nslot
 
     def start_dma(roi, slot):
         """Kick off the window DMA for RoI ``roi`` into buffer ``slot``.
 
-        The copied extent shrinks to (WIN_Y2, WIN_X2) when the RoI's weight
-        span allows — most canonical-band RoIs use under half the window, and
-        the kernel is window-DMA-bandwidth-bound. Slot regions beyond the
-        copied extent hold stale-but-finite data (slots are zero-filled once
-        at step 0) whose weights are exactly zero, so outputs are
-        bit-identical. The wait in the compute loop reconstructs the SAME
-        per-class extent: TPU DMA semaphores count bytes, so the wait
-        descriptor must match the started copy.
+        The copied extent shrinks to the RoI's size class. Slot regions
+        beyond the copied extent hold stale-but-finite data (slots are
+        zero-filled once at step 0) whose weights are exactly zero, so
+        outputs are bit-identical. The wait reconstructs the SAME per-class
+        extent: TPU DMA semaphores count bytes, so the wait descriptor must
+        match the started copy. Duplicate RoIs share the leader's class
+        (cls is part of the sort key), so their weight spans are covered.
         """
         img = img_ref[roi]
         lvl = lvl_ref[roi]
@@ -162,44 +176,60 @@ def _kernel(
                 dst = win_ref.at[slot, pl.ds(0, ny), pl.ds(0, nx), :]
                 pltpu.make_async_copy(dst, dst, sem.at[slot]).wait()
 
-    # nslot-deep DMA pipeline (nslot a multiple of r): step 0 zero-fills the
-    # scratch (so never-copied regions are finite) and fills every slot;
-    # step i>0 issues the r DMAs for rois [i*r + nslot - r, i*r + nslot)
-    NSLOT = nslot
+    n_dma = dma_ref[n - 1] + 1
 
+    # DMA-space pipeline: step 0 zero-fills the scratch (never-copied regions
+    # stay finite) and issues copies [0, nslot); step i>0 issues copies
+    # [D[r*(i-1)] + nslot, D[r*i] + nslot) — at most r per step since D grows
+    # by <= 1 per roi, and continuous across steps. Duplicate runs compress
+    # D, so the prefetch pointer runs AHEAD in roi-space (deeper effective
+    # lookahead, never shallower).
     @pl.when(i == 0)
     def _():
         win_ref[...] = jnp.zeros_like(win_ref)
-        for j in range(NSLOT):
+        for d in range(NSLOT):
 
-            @pl.when(j < n)
-            def _():
-                start_dma(j, j)
+            @pl.when(d < n_dma)
+            def _(d=d):
+                start_dma(order_ref[d], d % NSLOT)
 
-    for j in range(r):
-        roi_pf = i * r + (NSLOT - r) + j
-
-        @pl.when((i > 0) & (roi_pf < n))
-        def _(roi_pf=roi_pf):
-            start_dma(roi_pf, roi_pf % NSLOT)
-
-    base = (i * r) % NSLOT  # within a step the r slots are contiguous
-    for j in range(r):
-        wait_dma(i * r + j, base + j)
-
-    # stacked y-pass: ONE (r*P, r*WIN_Y) @ (r*WIN_Y, WIN_X*C) matmul with
-    # block-diagonal weights — r tiny M=P matmuls had ~5% MXU utilization;
-    # stacking multiplies M (and the utilization) by r at the same wall
-    # time. The slot group is selected with a STATIC branch per parity so
-    # the stacked read is a contiguous view, not a dynamic-index VMEM copy.
-    def compute(g0):
-        stacked = win_ref[g0 : g0 + r].reshape(r * WIN_Y, WIN_X * c)
-        wyb = wyb_ref[0]  # (r*P, r*WIN_Y)
-        t1 = jnp.dot(
-            wyb.astype(stacked.dtype), stacked, preferred_element_type=jnp.float32
-        ).reshape(r, p, WIN_X, c)
+    @pl.when(i > 0)
+    def _():
+        prev = dma_ref[jnp.maximum(i - 1, 0) * r]
+        cur = dma_ref[i * r]
         for j in range(r):
-            # x-pass: contract WIN_X: (P, WIN_X) x (P, WIN_X, C) -> (Px,Py,C)
+            d = prev + NSLOT + j
+
+            @pl.when(d < jnp.minimum(cur + NSLOT, n_dma))
+            def _(d=d):
+                start_dma(order_ref[d], d % NSLOT)
+
+    # waits: exactly one per DMA, at its run leader (the first roi of the
+    # run — detected as D[q] != D[q-1]; roi 0 is always a leader)
+    for j in range(r):
+        q = i * r + j
+        is_leader = (q == 0) | (dma_ref[q] != dma_ref[jnp.maximum(q - 1, 0)])
+
+        @pl.when(is_leader)
+        def _(q=q):
+            wait_dma(q, dma_ref[q] % NSLOT)
+
+    # stacked y-pass: ONE (r*P, .) @ (., WIN_X*C) matmul — r tiny M=P matmuls
+    # had ~5% MXU utilization; stacking multiplies M by r at the same wall
+    # time. Slots are selected with STATIC branches on (base, mode) so every
+    # read is a static view. Three shapes:
+    #   dup   — both RoIs share one window: (r*P, WIN_Y) @ slot b
+    #   pair  — consecutive slots b, b+1: block-diag (r*P, r*WIN_Y) @ view
+    #   split — slot wrap (b = nslot-1): per-RoI (P, WIN_Y) matmuls
+    # All three sum identical nonzero terms in identical order (the extra
+    # operands are exact zeros), so outputs are bit-identical across modes.
+    wyb = wyb_ref[0]  # (r*P, r*WIN_Y)
+    d0 = dma_ref[i * r]
+    d1 = dma_ref[i * r + (r - 1)]
+
+    def x_pass(t1):
+        # t1: (r, P, WIN_X, C)
+        for j in range(r):
             wx = wx_ref[j]
             t2 = jax.lax.dot_general(
                 wx.astype(t1.dtype),
@@ -209,11 +239,54 @@ def _kernel(
             )
             out_ref[j] = jnp.transpose(t2, (1, 0, 2)).astype(out_ref.dtype)
 
-    for gi in range(NSLOT // r):
+    def compute_dup(b):
+        win = win_ref[b].reshape(WIN_Y, WIN_X * c)
+        t1 = jnp.dot(
+            wyb[:, :WIN_Y].astype(win.dtype), win,
+            preferred_element_type=jnp.float32,
+        ).reshape(r, p, WIN_X, c)
+        x_pass(t1)
 
-        @pl.when(base == gi * r)
-        def _(gi=gi):
-            compute(gi * r)
+    def compute_pair(b):
+        stacked = win_ref[b : b + r].reshape(r * WIN_Y, WIN_X * c)
+        t1 = jnp.dot(
+            wyb.astype(stacked.dtype), stacked, preferred_element_type=jnp.float32
+        ).reshape(r, p, WIN_X, c)
+        x_pass(t1)
+
+    def compute_split(b):
+        # slots wrap (b, 0): per-RoI y-pass with the matching wyb block
+        t1s = []
+        for j in range(r):
+            slot = (b + j) % NSLOT
+            win = win_ref[slot].reshape(WIN_Y, WIN_X * c)
+            t1s.append(
+                jnp.dot(
+                    wyb[j * p : (j + 1) * p, j * WIN_Y : (j + 1) * WIN_Y].astype(
+                        win.dtype
+                    ),
+                    win,
+                    preferred_element_type=jnp.float32,
+                ).reshape(1, p, WIN_X, c)
+            )
+        x_pass(jnp.concatenate(t1s, axis=0))
+
+    for b in range(NSLOT):
+
+        @pl.when((d0 % NSLOT == b) & (d1 == d0))
+        def _(b=b):
+            compute_dup(b)
+
+        if b + r <= NSLOT:
+
+            @pl.when((d0 % NSLOT == b) & (d1 != d0))
+            def _(b=b):
+                compute_pair(b)
+        else:
+
+            @pl.when((d0 % NSLOT == b) & (d1 != d0))
+            def _(b=b):
+                compute_split(b)
 
 
 def multilevel_roi_align_pallas(
@@ -282,13 +355,45 @@ def multilevel_roi_align_pallas(
         wx = jnp.pad(wx, pad1 + [(0, 0)] * 2)
     else:
         lvl_idx_k = lvl_idx
+    nt = n + n_pad
 
-    # block-diagonal y-weights per r-group: (G, r*P, r*WIN_Y). Built with
-    # pad+concat (one fusion) — the .at[].set form lowered to a 1.8 ms
-    # dynamic-update-slice at batch-8 inference.
-    g = (n + n_pad) // r
+    # ---- duplicate-window dedup (see _kernel docstring) ----
+    # sort key packs (img, lvl, y0, x0, cls) into one int32: 27 bits used
+    # (y0/x0 < 512 after padding+alignment, cls < 16, lvl < 4). Padding rois
+    # sort last (max key) and become one shared "window".
+    sort_key = (
+        (((img_idx * 4 + lvl_idx_k) << 9 | y0w) << 9 | x0w) << 4
+    ) | size_cls
+    if n_pad:
+        sort_key = sort_key.at[n:].set(jnp.int32(2**31 - 1))
+    perm = jnp.argsort(sort_key)  # stable
+    key_s = sort_key[perm]
+    img_idx = img_idx[perm]
+    lvl_idx_k = lvl_idx_k[perm]
+    y0w = y0w[perm]
+    x0w = x0w[perm]
+    size_cls = size_cls[perm]
+    wy = wy[perm]
+    wx = wx[perm]
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), bool), key_s[1:] == key_s[:-1]]
+    )
+    dma_idx = jnp.cumsum((~dup).astype(jnp.int32)) - 1  # (NT,) D[q]
+    # roi index of the d-th DMA: leaders scatter their roi index to slot D
+    dma_order = (
+        jnp.zeros((nt + 1,), jnp.int32)
+        .at[jnp.where(dup, nt, dma_idx)]
+        .set(jnp.arange(nt, dtype=jnp.int32))[:nt]
+    )
+
+    # y-weights per r-group: block-diagonal (G, r*P, r*WIN_Y) for pair
+    # groups, both blocks LEFT-stacked in columns [0, WIN_Y) for dup groups
+    # (the kernel's dup variant multiplies the shared window by a vertically
+    # stacked (r*P, WIN_Y) matrix). Built with pad+concat — .at[].set lowered
+    # to a 1.8 ms dynamic-update-slice at batch-8 inference.
+    g = nt // r
     wy_g = wy.reshape(g, r, p, WIN_Y)
-    wyb = jnp.concatenate(
+    wyb_pair = jnp.concatenate(
         [
             jnp.pad(
                 wy_g[:, j],
@@ -298,9 +403,19 @@ def multilevel_roi_align_pallas(
         ],
         axis=1,
     )
+    if r > 1:
+        wyb_dup = jnp.pad(
+            wy_g.reshape(g, r * p, WIN_Y), [(0, 0), (0, 0), (0, (r - 1) * WIN_Y)]
+        )
+        gmode_dup = (
+            dma_idx.reshape(g, r)[:, r - 1] == dma_idx.reshape(g, r)[:, 0]
+        )
+        wyb = jnp.where(gmode_dup[:, None, None], wyb_dup, wyb_pair)
+    else:
+        wyb = wyb_pair
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=7,
         grid=(g,),
         in_specs=[
             pl.BlockSpec((1, r * p, r * WIN_Y), lambda i, *_: (i, 0, 0)),
@@ -320,11 +435,15 @@ def multilevel_roi_align_pallas(
     pooled = pl.pallas_call(
         functools.partial(_kernel, nslot, r),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n + n_pad, p, p, c), features[0].dtype),
+        out_shape=jax.ShapeDtypeStruct((nt, p, p, c), features[0].dtype),
         interpret=interpret,
-    )(img_idx, lvl_idx_k, y0w, x0w, size_cls, wyb, wx, *feats)
+    )(img_idx, lvl_idx_k, y0w, x0w, size_cls, dma_idx, dma_order,
+      wyb, wx, *feats)
 
-    pooled = pooled[:n].reshape(b, k, p, p, c)
+    # undo the window sort (gather by inverse permutation; this sits inside
+    # the train path's custom VJP, so it is never differentiated)
+    inv_perm = jnp.argsort(perm)
+    pooled = pooled[inv_perm][:n].reshape(b, k, p, p, c)
 
     if fallback_capacity > 0:
         def fb(pooled_i, oow_i, boxes_i, lvl_i, feats_i):

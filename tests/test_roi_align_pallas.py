@@ -62,3 +62,44 @@ def test_pallas_degenerate_boxes():
     )
     got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 2, interpret=True)
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_pallas_duplicate_window_dedup():
+    """Clustered and exactly-repeated boxes force the dedup fast path (dup /
+    pair / split compute variants and skipped DMAs) — the host sorts RoIs by
+    window key, so duplicate runs of every length appear. Must stay
+    bit-comparable to the per-RoI gather path."""
+    rng = np.random.RandomState(7)
+    b, k = 2, 32
+    feats = _feats(rng, b)
+    base = _boxes(rng, b, 6)
+    reps = []
+    for j in range(k):
+        src = np.asarray(base[:, j % 6])
+        jit = (rng.rand(b, 4) - 0.5) * (0.0 if j % 3 else 2.0)  # exact + near dups
+        reps.append(src + jit)
+    boxes = jnp.asarray(np.stack(reps, 1).astype(np.float32))
+    want = jax.vmap(
+        lambda f0, f1, f2, f3, bx: multilevel_roi_align(
+            [f0, f1, f2, f3], bx, STRIDES, 7, 0
+        )
+    )(*feats, boxes)
+    got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3)
+
+
+def test_pallas_all_identical_boxes():
+    """Degenerate extreme: every RoI shares ONE window (a single DMA serves
+    the whole grid; slot rotation never advances)."""
+    rng = np.random.RandomState(8)
+    b, k = 1, 24
+    feats = _feats(rng, b)
+    one = np.array([[30.0, 40.0, 90.0, 120.0]], np.float32)
+    boxes = jnp.asarray(np.tile(one, (b, k, 1)))
+    want = jax.vmap(
+        lambda f0, f1, f2, f3, bx: multilevel_roi_align(
+            [f0, f1, f2, f3], bx, STRIDES, 7, 0
+        )
+    )(*feats, boxes)
+    got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3)
