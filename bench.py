@@ -76,6 +76,20 @@ def enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
+def host_init(init_fn, key):
+    """Init params EAGERLY on the CPU backend, then one device_put to the
+    TPU (~30 s total). The previous jitted-on-TPU init was the dominant
+    cold-bench cost: its remote compile alone measured up to ~350 s (the
+    init graph is thousands of threefry ops). Threefry is
+    backend-deterministic, so the values are identical; eager CPU dispatch
+    never touches the ~33 ms-RTT tunnel."""
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_fn(key)
+    return jax.device_put(params, jax.devices()[0])
+
+
 def structured_images(rng, n, batch, h, w, c):
     """Background gradient + pasted box-like objects (fixed seed)."""
     imgs = []
@@ -171,10 +185,7 @@ def bench_inference(trained_ckpt=None):
     enable_compile_cache()
     cfg = build_config(depth=101, input_format="BGR", num_classes=3,
                        compute_dtype="bfloat16")
-    # jitted init: eager init_rcnn dispatches each param op through the
-    # ~33 ms-RTT tunnel (~170 s for R101); one compiled (and persistently
-    # cached) program does it in seconds
-    params = retry_transient(jax.jit(lambda k: init_rcnn(k, cfg)),
+    params = retry_transient(host_init, lambda k: init_rcnn(k, cfg),
                              jax.random.PRNGKey(0))
     if trained_ckpt:
         # a bare params pytree saved via checkpoint.save_pytree (see
@@ -256,7 +267,7 @@ def bench_train():
             valid=jnp.asarray(np.ones((batch, g), bool)),
         ),
     }
-    params = retry_transient(jax.jit(lambda k: init_rcnn(k, mcfg)),
+    params = retry_transient(host_init, lambda k: init_rcnn(k, mcfg),
                              jax.random.PRNGKey(0))
     # same FREEZE_AT mask DefaultTrainer trains with (frozen backward is DCE'd)
     from proben_tpu.models.resnet import freeze_mask
@@ -266,8 +277,15 @@ def bench_train():
     init_state, step = make_train_step(mcfg, scfg, mask)
     step = jax.jit(step)
     state = init_state(params, jax.random.PRNGKey(7))
+    # TWO warmup steps: the first compiles against the eagerly-placed init
+    # state, the second against the step's own output shardings — a distinct
+    # program (committed-placement difference). Without it the second compile
+    # (~80 s cold) lands inside the timed loop. DefaultTrainer avoids this by
+    # pinning in/out shardings explicitly (engine/defaults.py:78-81).
     state, metrics = retry_transient(step, state, data)
-    np.asarray(metrics["total_loss"])  # compile + sync
+    np.asarray(metrics["total_loss"])  # compile #1 + sync
+    state, metrics = retry_transient(step, state, data)
+    np.asarray(metrics["total_loss"])  # compile #2 + sync
     iters = 12
     t0 = time.time()
     for _ in range(iters):

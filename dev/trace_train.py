@@ -44,6 +44,10 @@ init_state, step = make_train_step(mcfg, scfg, mask)
 import jax as _j
 state = init_state(params, jax.random.PRNGKey(7))
 step = _j.jit(step)
+# two warmups: the second call compiles a SECOND program (the step's output
+# placement differs from the eager init state's) — see bench.py bench_train
+state, metrics = step(state, data)
+np.asarray(metrics["total_loss"])
 state, metrics = step(state, data)
 np.asarray(metrics["total_loss"])
 # pipelined throughput: dispatch N dependent steps, sync once at the end
