@@ -446,18 +446,29 @@ def multilevel_roi_align_pallas(
     pooled = pooled[inv_perm][:n].reshape(b, k, p, p, c)
 
     if fallback_capacity > 0:
-        def fb(pooled_i, oow_i, boxes_i, lvl_i, feats_i):
-            return apply_oow_fallback(
-                pooled_i, oow_i, feats_i, boxes_i, lvl_i, strides, p,
-                sampling_ratio, fallback_capacity,
+        def run_fallback(pooled_in):
+            def fb(pooled_i, oow_i, boxes_i, lvl_i, feats_i):
+                return apply_oow_fallback(
+                    pooled_i, oow_i, feats_i, boxes_i, lvl_i, strides, p,
+                    sampling_ratio, fallback_capacity,
+                )
+
+            return jax.vmap(fb, in_axes=(0, 0, 0, 0, 0))(
+                pooled_in,
+                oow.reshape(b, k),
+                boxes,
+                lvl_idx.reshape(b, k),
+                list(features),
             )
 
-        pooled = jax.vmap(fb, in_axes=(0, 0, 0, 0, 0))(
-            pooled,
-            oow.reshape(b, k),
-            boxes,
-            lvl_idx.reshape(b, k),
-            list(features),
+        # Batch-level gate: the exact whole-map re-pool is only needed when
+        # some RoI's span overflowed its window, which is rare at FLIR/KAIST
+        # box statistics (docs/PERF.md: a ~1.8 ms/batch "oow tax" paid every
+        # inference batch). This function sits at the batch level (never
+        # vmapped), so lax.cond executes ONE branch; with oow rows present
+        # the computation is exactly the unconditional one.
+        pooled = jax.lax.cond(
+            jnp.any(oow[:n]), run_fallback, lambda p_: p_, pooled
         )
     return pooled
 
