@@ -531,6 +531,13 @@ def wholemap_roi_align_grad(features, boxes, g, strides, output_size,
         lvl_p = padded(lvl_idx, n_pad, fill=-1).reshape(n_chunks, ch)
         zero = jnp.zeros((ch,), jnp.int32)
 
+        # Both dots run at ~80% of HBM peak on the ``u`` intermediate (write
+        # then read), so u's size IS the cost: contract the LONGER spatial
+        # axis first so u carries the shorter one. FLIR maps are landscape
+        # (H=200 < W=256 at P2), so y-first shrinks u 22% — measured 26.4 ->
+        # 22.6 ms on the batch-8 micro-bench (dev/micro_bwd.py distribution).
+        # The (w, h, c) partial is transposed once after the chunk loop.
+        yfirst = h <= w
         acc = None
         for i in range(n_chunks):
             gc = g_p[i]
@@ -543,20 +550,37 @@ def wholemap_roi_align_grad(features, boxes, g, strides, output_size,
                 sampling_ratio, s_hi_x,
             )
             mask = (lvl_p[i] == li).astype(jnp.float32)
-            wyg = wyg * mask[:, None, None]
-            # u[k, w, p, c] = sum_q wxg[k, q, w] g[k, p, q, c]
-            u = jax.lax.dot_general(
-                wxg.astype(dt), gc.astype(dt),
-                dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-                preferred_element_type=dt,
-            )  # (ch, w, p, c)
-            # dF[y, x, c] += sum_{k, p} wyg[k, p, y] u[k, x, p, c]
-            part = jax.lax.dot_general(
-                wyg.astype(dt), u,
-                dimension_numbers=(((0, 1), (0, 2)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if yfirst:
+                # u[k, y, q, c] = sum_p wyg[k, p, y] g[k, p, q, c]
+                wyg = wyg * mask[:, None, None]
+                u = jax.lax.dot_general(
+                    wyg.astype(dt), gc.astype(dt),
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=dt,
+                )  # (ch, h, p, c)
+                # dFt[x, y, c] += sum_{k, q} wxg[k, q, x] u[k, y, q, c]
+                part = jax.lax.dot_general(
+                    wxg.astype(dt), u,
+                    dimension_numbers=(((0, 1), (0, 2)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (w, h, c)
+            else:
+                # u[k, w, p, c] = sum_q wxg[k, q, w] g[k, p, q, c]
+                wxg = wxg * mask[:, None, None]
+                u = jax.lax.dot_general(
+                    wxg.astype(dt), gc.astype(dt),
+                    dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+                    preferred_element_type=dt,
+                )  # (ch, w, p, c)
+                # dF[y, x, c] += sum_{k, p} wyg[k, p, y] u[k, x, p, c]
+                part = jax.lax.dot_general(
+                    wyg.astype(dt), u,
+                    dimension_numbers=(((0, 1), (0, 2)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (h, w, c)
             acc = part if acc is None else acc + part
+        if yfirst:
+            acc = jnp.transpose(acc, (1, 0, 2))
         dfs.append(acc.astype(f.dtype))
 
     if isinstance(features, (list, tuple)):
