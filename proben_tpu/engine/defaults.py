@@ -56,10 +56,15 @@ class DefaultTrainer:
         seed = cfg.SEED if cfg.SEED >= 0 else 0
         key = jax.random.PRNGKey(seed)
         if params is None:
-            # jitted init: eager init_rcnn dispatches each param op separately,
-            # which costs ~3 min over the axon tunnel's ~33 ms RTT for R101;
-            # one compiled program does it in seconds (see bench.py).
-            params = jax.jit(lambda k: init_rcnn(k, self.model_cfg))(key)
+            # Init EAGERLY on the CPU backend, then transfer once. The two
+            # alternatives both lose: eager init on the TPU dispatches each
+            # param op through the axon tunnel's ~33 ms RTT (~3 min for
+            # R101), and jit-on-TPU pays a remote compile of the huge
+            # threefry init graph (measured up to ~350 s cold; ~37 s even on
+            # CPU for R50). Threefry is backend-deterministic, so values are
+            # identical to the jitted init. See bench.py host_init.
+            with jax.default_device(jax.devices("cpu")[0]):
+                params = init_rcnn(key, self.model_cfg)
             if cfg.MODEL.WEIGHTS:
                 logger.info("loading weights from %s", cfg.MODEL.WEIGHTS)
                 params = import_detectron2_checkpoint(

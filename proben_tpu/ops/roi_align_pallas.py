@@ -84,6 +84,7 @@ def window_size_classes(wy: Array, wx: Array) -> Array:
 def _kernel(
     nslot,
     r,  # RoIs per grid step (amortizes the fixed per-step overhead)
+    one_class,  # interpret mode: single max-extent DMA class (see host)
     # scalar prefetch
     img_ref,  # (N,) image index per roi (HOST-SORTED window order)
     lvl_ref,  # (N,) level index per roi
@@ -120,7 +121,14 @@ def _kernel(
     c = out_ref.shape[-1]
     p = out_ref.shape[1]
 
-    SIZES = DMA_SIZES
+    # In interpret mode only the LAST (max-extent) class occurs: extent
+    # classes merely trim zero-weight copy tails (window origins are clamped
+    # so the full window is always in bounds), and every pl.when branch is
+    # traced per call — collapsing 5 classes x 4 levels to 1 x 4 cuts the
+    # fixed ~8 s/call interpret trace cost that dominated the CPU test suite.
+    SIZES = list(enumerate(DMA_SIZES))[-1:] if one_class else list(
+        enumerate(DMA_SIZES)
+    )
     NSLOT = nslot
 
     def start_dma(roi, slot):
@@ -141,7 +149,7 @@ def _kernel(
         cls_ = cls_ref[roi]
 
         def go(fref):
-            for cv, (ny, nx) in enumerate(SIZES):
+            for cv, (ny, nx) in SIZES:
 
                 @pl.when(cls_ == cv)
                 def _(ny=ny, nx=nx):
@@ -169,7 +177,7 @@ def _kernel(
 
     def wait_dma(roi, slot):
         cls_ = cls_ref[roi]
-        for cv, (ny, nx) in enumerate(SIZES):
+        for cv, (ny, nx) in SIZES:
 
             @pl.when(cls_ == cv)
             def _(ny=ny, nx=nx):
@@ -344,6 +352,11 @@ def multilevel_roi_align_pallas(
 
     img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
     size_cls = window_size_classes(wy, wx)
+    if interpret:
+        # single max-extent class (matches the kernel's one_class branch
+        # tree); outputs are unchanged — the extra copied region has
+        # exactly-zero weights
+        size_cls = jnp.full_like(size_cls, len(DMA_SIZES) - 1)
     if n_pad:
         pad1 = [(0, n_pad)]
         img_idx = jnp.pad(img_idx, pad1)
@@ -433,7 +446,7 @@ def multilevel_roi_align_pallas(
     )
 
     pooled = pl.pallas_call(
-        functools.partial(_kernel, nslot, r),
+        functools.partial(_kernel, nslot, r, interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt, p, p, c), features[0].dtype),
         interpret=interpret,

@@ -40,6 +40,7 @@ def test_blur_and_maxpool_ablations_train():
         pixel_mean=(103.53, 116.28, 123.675, 135.0, 135.0, 135.0),
         blur_rgb=True,
         max_pool_rgb=True,
+        roi_align_impl="gather",  # CPU e2e speed; see test_model_e2e.tiny_cfg
         rpn=RPNConfig(pre_nms_topk_train=64, post_nms_topk_train=32),
         roi=ROIHeadsConfig(num_classes=3, batch_size_per_image=16),
         rcnn=FastRCNNConfig(num_classes=3, topk_per_image=4, max_candidates=32),

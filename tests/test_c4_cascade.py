@@ -22,6 +22,7 @@ H = W = 128
 def _cfg():
     return build_config(
         depth=50, num_classes=3,
+        roi_align_impl="gather",  # CPU e2e speed; see test_model_e2e.tiny_cfg
         rpn=RPNConfig(pre_nms_topk_train=100, post_nms_topk_train=50,
                       pre_nms_topk_test=100, post_nms_topk_test=50),
         roi=ROIHeadsConfig(num_classes=3, batch_size_per_image=32),

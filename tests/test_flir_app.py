@@ -49,6 +49,7 @@ def _tiny_cfg(method):
     cfg.INPUT.PAD_SHAPE = (192, 224)
     cfg.INPUT.MIN_SIZE_TEST = 160
     cfg.INPUT.MAX_SIZE_TEST = 224
+    cfg.MODEL.ROI_ALIGN_IMPL = "gather"  # CPU e2e speed; see test_model_e2e
     return cfg
 
 

@@ -22,7 +22,12 @@ TINY_ROI = ROIHeadsConfig(num_classes=3, batch_size_per_image=64)
 TINY_RCNN = FastRCNNConfig(num_classes=3, topk_per_image=20, max_candidates=256)
 
 
-def tiny_cfg(fmt="BGR", gnll=False):
+def tiny_cfg(fmt="BGR", gnll=False, impl="gather"):
+    # "gather" keeps CPU e2e runs fast: the interpret-mode Pallas kernel is
+    # bit-identical but runs the grid in Python (~5 s/train-iter). The BGR
+    # parametrizations keep impl="pallas" so BOTH rcnn.py dispatch branches
+    # stay e2e-covered (kernel equivalence itself is pinned by
+    # tests/test_roi_align_pallas.py).
     mean = {"BGR": (103.53, 116.28, 123.675),
             "BGRT": (103.53, 116.28, 123.675, 135.0),
             "BGRTTT": (103.53, 116.28, 123.675, 135.0, 135.0, 135.0)}[fmt]
@@ -30,6 +35,7 @@ def tiny_cfg(fmt="BGR", gnll=False):
         input_format=fmt,
         pixel_mean=mean,
         enable_gaussian_nll=gnll,
+        roi_align_impl=impl,
         rcnn=dataclasses.replace(TINY_RCNN, enable_gaussian_nll=gnll),
         roi=TINY_ROI,
         rpn=TINY_RPN,
@@ -56,7 +62,7 @@ def rand_gt(rng, n, g=4):
 @pytest.mark.parametrize("fmt,c", [("BGR", 3), ("BGRT", 4), ("BGRTTT", 6)])
 def test_train_losses_finite(fmt, c):
     rng = np.random.RandomState(0)
-    cfg = tiny_cfg(fmt)
+    cfg = tiny_cfg(fmt, impl="pallas" if fmt == "BGR" else "gather")
     params = init_rcnn(jax.random.PRNGKey(0), cfg)
     images, sizes = rand_batch(rng, 2, c)
     gt = rand_gt(rng, 2)
@@ -95,7 +101,7 @@ def test_empty_gt_train():
 @pytest.mark.parametrize("fmt,c", [("BGR", 3), ("BGRTTT", 6)])
 def test_inference_shapes(fmt, c):
     rng = np.random.RandomState(3)
-    cfg = tiny_cfg(fmt, gnll=True)
+    cfg = tiny_cfg(fmt, gnll=True, impl="pallas" if fmt == "BGR" else "gather")
     params = init_rcnn(jax.random.PRNGKey(0), cfg)
     images, sizes = rand_batch(rng, 2, c)
     det = jax.jit(lambda p, im, sz: rcnn_inference(p, cfg, im, sz))(params, images, sizes)

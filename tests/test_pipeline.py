@@ -64,6 +64,7 @@ def test_random_model_pipeline_runs(mini_dataset):
         depth=50,
         num_classes=3,
         enable_gaussian_nll=True,
+        roi_align_impl="gather",  # CPU e2e speed; see test_model_e2e.tiny_cfg
         rpn=RPNConfig(pre_nms_topk_test=100, post_nms_topk_test=50),
         rcnn=FastRCNNConfig(num_classes=3, topk_per_image=10, max_candidates=128,
                             score_thresh=0.0, enable_gaussian_nll=True),
@@ -126,6 +127,7 @@ def test_given_boxes_rescoring_real_model():
     cfg = build_config(
         depth=50,
         num_classes=3,
+        roi_align_impl="gather",  # CPU e2e speed; see test_model_e2e.tiny_cfg
         rpn=RPNConfig(pre_nms_topk_test=50, post_nms_topk_test=20),
         rcnn=FastRCNNConfig(num_classes=3, topk_per_image=5, max_candidates=32),
     )

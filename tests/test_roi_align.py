@@ -176,28 +176,33 @@ def test_pallas_matches_gather_adversarial():
     """pallas == gather == oracle at ratio=0 incl. out-of-window fallbacks."""
     from proben_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas
 
+    # shapes match test_roi_align_pallas's canonical (b=2, k=32, base=64,
+    # c=32, ratio=0) signature so the interpret-mode kernel program compiles
+    # ONCE for the whole suite (the compile, not the data, is the cost here)
     rng = np.random.RandomState(4)
-    C = 8
-    feats = [rng.rand(2, 96 // (2 ** i), 128 // (2 ** i), C).astype(np.float32)
+    C = 32
+    feats = [rng.rand(2, 64 // (2 ** i), 64 // (2 ** i), C).astype(np.float32)
              for i in range(4)]
     strides = [4, 8, 16, 32]
-    boxes = np.array(
+    adv = np.array(
         [
-            [
-                [40.0, 4.0, 56.0, 370.0],  # tall sliver
-                [8.0, 60.0, 500.0, 76.0],  # wide sliver
-                [30.0, 30.0, 90.0, 90.0],
-                [0.0, 0.0, 380.0, 500.0],
-            ],
-            [
-                [0.0, 0.0, 0.0, 0.0],  # degenerate
-                [10.5, 3.25, 300.75, 22.5],
-                [100.0, 100.0, 140.0, 460.0],
-                [5.0, 5.0, 500.0, 500.0],
-            ],
+            [40.0, 2.0, 48.0, 254.0],  # tall sliver, span > window -> oow
+            [2.0, 60.0, 254.0, 68.0],  # wide sliver -> oow
+            [30.0, 30.0, 90.0, 90.0],
+            [0.0, 0.0, 190.0, 250.0],
+            [0.0, 0.0, 0.0, 0.0],  # degenerate
+            [10.5, 3.25, 150.75, 12.5],
+            [100.0, 100.0, 120.0, 230.0],
+            [5.0, 5.0, 250.0, 250.0],
         ],
         np.float32,
     )
+    boxes = np.stack(
+        [
+            np.concatenate([adv + 4.0 * j for j in range(4)], axis=0),
+            np.concatenate([adv[::-1] + 3.0 * j for j in range(4)], axis=0),
+        ]
+    ).astype(np.float32)
     got_p = np.asarray(
         multilevel_roi_align_pallas(
             [jnp.asarray(f) for f in feats], jnp.asarray(boxes), strides,

@@ -1,5 +1,12 @@
 """Pallas RoIAlign kernel parity vs the gather implementation (interpret mode
-on the CPU mesh; the compiled path is exercised on real TPU by bench/verify)."""
+on the CPU mesh; the compiled path is exercised on real TPU by bench/verify).
+
+Suite-speed note: the cost of each test here is the CPU COMPILE of the
+interpreted kernel program (the unrolled level x size-class x slot branch
+tree), not the data. All tests therefore share two canonical shape/ratio
+signatures — (b=2, k=32, base=64, c=32) at sampling_ratio 2 and 0 — so the
+persistent compilation cache collapses five compiles into two.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -10,9 +17,10 @@ from proben_tpu.ops.roi_align import multilevel_roi_align
 from proben_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas
 
 STRIDES = (4, 8, 16, 32)
+B, K, BASE, C = 2, 32, 64, 32  # one signature -> one cached compile
 
 
-def _feats(rng, b, base=64, c=32):
+def _feats(rng, b=B, base=BASE, c=C):
     return [
         jnp.asarray(rng.rand(b, base // (2 ** i), base // (2 ** i), c).astype(np.float32))
         for i in range(4)
@@ -25,42 +33,36 @@ def _boxes(rng, b, k, img=256):
     return jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
 
 
-def test_pallas_matches_gather_random():
-    rng = np.random.RandomState(0)
-    b, k = 2, 16
-    feats = _feats(rng, b)
-    boxes = _boxes(rng, b, k)
+def _check(feats, boxes, ratio):
     want = jax.vmap(
         lambda f0, f1, f2, f3, bx: multilevel_roi_align(
-            [f0, f1, f2, f3], bx, STRIDES, 7, 2
+            [f0, f1, f2, f3], bx, STRIDES, 7, ratio
         )
     )(*feats, boxes)
-    got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 2, interpret=True)
+    got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, ratio, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3)
+    return got
+
+
+def test_pallas_matches_gather_random():
+    rng = np.random.RandomState(0)
+    _check(_feats(rng), _boxes(rng, B, K), ratio=2)
 
 
 def test_pallas_small_levels_padded():
-    # levels smaller than the window (p5 = 8x8 here) must still work
+    # levels smaller than the window (p5 = 8x8 here) must still work; the
+    # shared base=64 pyramid exercises this in every test, with boxes spread
+    # over all levels here
     rng = np.random.RandomState(1)
-    b, k = 1, 8
-    feats = _feats(rng, b, base=64, c=16)
-    boxes = _boxes(rng, b, k, img=256)
-    want = jax.vmap(
-        lambda f0, f1, f2, f3, bx: multilevel_roi_align(
-            [f0, f1, f2, f3], bx, STRIDES, 7, 2
-        )
-    )(*feats, boxes)
-    got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 2, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3)
+    _check(_feats(rng), _boxes(rng, B, K, img=256), ratio=2)
 
 
 def test_pallas_degenerate_boxes():
     rng = np.random.RandomState(2)
-    feats = _feats(rng, 1, base=32, c=16)
-    boxes = jnp.asarray(
-        np.array([[[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 10.5, 200.0]]], np.float32)
-    )
-    got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 2, interpret=True)
+    feats = _feats(rng)
+    deg = np.array([[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 10.5, 200.0]], np.float32)
+    boxes = jnp.asarray(np.tile(deg, (B, K // 2, 1)))
+    got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 0, interpret=True)
     assert np.isfinite(np.asarray(got)).all()
 
 
@@ -70,36 +72,22 @@ def test_pallas_duplicate_window_dedup():
     window key, so duplicate runs of every length appear. Must stay
     bit-comparable to the per-RoI gather path."""
     rng = np.random.RandomState(7)
-    b, k = 2, 32
-    feats = _feats(rng, b)
-    base = _boxes(rng, b, 6)
+    feats = _feats(rng)
+    base = _boxes(rng, B, 6)
     reps = []
-    for j in range(k):
+    for j in range(K):
         src = np.asarray(base[:, j % 6])
-        jit = (rng.rand(b, 4) - 0.5) * (0.0 if j % 3 else 2.0)  # exact + near dups
+        jit = (rng.rand(B, 4) - 0.5) * (0.0 if j % 3 else 2.0)  # exact + near dups
         reps.append(src + jit)
     boxes = jnp.asarray(np.stack(reps, 1).astype(np.float32))
-    want = jax.vmap(
-        lambda f0, f1, f2, f3, bx: multilevel_roi_align(
-            [f0, f1, f2, f3], bx, STRIDES, 7, 0
-        )
-    )(*feats, boxes)
-    got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 0, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3)
+    _check(feats, boxes, ratio=0)
 
 
 def test_pallas_all_identical_boxes():
     """Degenerate extreme: every RoI shares ONE window (a single DMA serves
     the whole grid; slot rotation never advances)."""
     rng = np.random.RandomState(8)
-    b, k = 1, 24
-    feats = _feats(rng, b)
+    feats = _feats(rng)
     one = np.array([[30.0, 40.0, 90.0, 120.0]], np.float32)
-    boxes = jnp.asarray(np.tile(one, (b, k, 1)))
-    want = jax.vmap(
-        lambda f0, f1, f2, f3, bx: multilevel_roi_align(
-            [f0, f1, f2, f3], bx, STRIDES, 7, 0
-        )
-    )(*feats, boxes)
-    got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 0, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3)
+    boxes = jnp.asarray(np.tile(one, (B, K, 1)))
+    _check(feats, boxes, ratio=0)

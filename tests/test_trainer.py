@@ -53,6 +53,9 @@ def _tiny_cfg(tmp_path):
     cfg.INPUT.MAX_SIZE_TRAIN = 96
     cfg.INPUT.MAX_GT = 8
     cfg.DATALOADER.NUM_WORKERS = 1
+    # bit-identical gather pooling: interpret-mode Pallas costs ~5 s/iter on
+    # the CPU mesh (see test_model_e2e.tiny_cfg for where pallas IS kept)
+    cfg.MODEL.ROI_ALIGN_IMPL = "gather"
     return cfg
 
 
