@@ -169,9 +169,21 @@ def preprocess(cfg: ModelConfig, images: Array) -> Array:
 
 
 def extract_features(
-    params: Dict, cfg: ModelConfig, images: Array, training: bool = False
-) -> Dict[str, Array]:
-    """Backbone(+fusion)+FPN. ``images`` already normalized (N, H, W, C)."""
+    params: Dict, cfg: ModelConfig, images: Array, training: bool = False,
+    return_streams: bool = False,
+):
+    """Backbone(+fusion)+FPN. ``images`` already normalized (N, H, W, C).
+
+    With ``return_streams`` returns (features, streams): for the BGRTTT dual
+    backbone ``streams`` is the (rgb, thermal) per-level dicts BEFORE the
+    channel concat (None otherwise). The RoI pooler wants the streams: it
+    pools each C=256 stream and concatenates the POOLED outputs —
+    bit-identical (pooling is per-channel linear) but the kernel sees the
+    pristine FPN conv outputs instead of slices of an in-graph concat, which
+    XLA hands to the custom call in a layout that drops the Pallas kernel
+    into its slow regime (measured 111 ms vs 13 ms for one identical
+    C=256 x 8192-RoI call at batch 8 — docs/PERF.md round 3d).
+    """
     dtype = cfg.dtype
     freeze = cfg.freeze_at if training else 0
     remat = cfg.remat_backbone and training
@@ -198,11 +210,13 @@ def extract_features(
             from .layers import max_pool
 
             f_rgb = {k: max_pool(v, 3, 1, padding=1) for k, v in f_rgb.items()}
-        return {k: jnp.concatenate([f_rgb[k], f_t[k]], axis=-1) for k in f_rgb}
+        cat = {k: jnp.concatenate([f_rgb[k], f_t[k]], axis=-1) for k in f_rgb}
+        return (cat, (f_rgb, f_t)) if return_streams else cat
     feats = apply_resnet(
         params["backbone"], images, freeze_at=freeze, dtype=dtype, remat=remat
     )
-    return apply_fpn(params["fpn"], feats, dtype=dtype)
+    out = apply_fpn(params["fpn"], feats, dtype=dtype)
+    return (out, None) if return_streams else out
 
 
 def _anchors_for(features: Dict[str, Array]):
@@ -226,7 +240,9 @@ def rcnn_inference(
     boxes in the model-input coordinate frame (use ``postprocess_boxes`` to
     rescale to original frames)."""
     x = preprocess(cfg, images)
-    features = extract_features(params, cfg, x, training=False)
+    features, streams = extract_features(
+        params, cfg, x, training=False, return_streams=True
+    )
     rpn_feats = [features[f] for f in RPN_IN_FEATURES]
     logits, deltas = apply_rpn_head(params["rpn_head"], rpn_feats, dtype=cfg.dtype)
     anchors = _anchors_for(features)
@@ -250,14 +266,28 @@ def rcnn_inference(
         from .roi_heads import roi_heads_predict_from_pooled
 
         boxes, scores, valid = jax.vmap(propose)(logits, deltas, image_sizes)
-        pooled = multilevel_roi_align_pallas(
-            roi_feats,
-            boxes,
-            cfg.roi.in_strides,
-            cfg.roi.pooler_resolution,
-            cfg.roi.pooler_sampling_ratio,
-            fallback_capacity=cfg.roi.fallback_capacity,
-        )
+
+        def pool(feats_list):
+            return multilevel_roi_align_pallas(
+                feats_list,
+                boxes,
+                cfg.roi.in_strides,
+                cfg.roi.pooler_resolution,
+                cfg.roi.pooler_sampling_ratio,
+                fallback_capacity=cfg.roi.fallback_capacity,
+            )
+
+        if streams is not None:
+            pooled = _pool_dual(
+                lambda fs, bx: multilevel_roi_align_pallas(
+                    fs, bx, cfg.roi.in_strides, cfg.roi.pooler_resolution,
+                    cfg.roi.pooler_sampling_ratio,
+                    fallback_capacity=cfg.roi.fallback_capacity,
+                ),
+                streams, boxes,
+            )
+        else:
+            pooled = pool(roi_feats)
 
         def predict(pooled_i, boxes_i, valid_i, size_i):
             return roi_heads_predict_from_pooled(
@@ -324,7 +354,9 @@ def rcnn_train_losses(
     """Batched training losses (dict of scalars, averaged over images)."""
     n = images.shape[0]
     x = preprocess(cfg, images)
-    features = extract_features(params, cfg, x, training=True)
+    features, streams = extract_features(
+        params, cfg, x, training=True, return_streams=True
+    )
     rpn_feats = [features[f] for f in RPN_IN_FEATURES]
     logits, deltas = apply_rpn_head(params["rpn_head"], rpn_feats, dtype=cfg.dtype)
     anchors = _anchors_for(features)
@@ -359,8 +391,15 @@ def rcnn_train_losses(
 
     # pooling runs BATCHED outside the per-image vmap so the Pallas
     # windowed-DMA kernel (one grid over all B*S RoIs) can serve training;
-    # its backward is the shared scatter-free whole-map matmul VJP
-    pooled = pool_box_features_batched(roi_feats, s_boxes, cfg)
+    # its backward is the shared scatter-free whole-map matmul VJP. Dual
+    # backbone pools both streams in ONE batch-stacked call (bit-identical;
+    # see _pool_dual).
+    if streams is not None:
+        pooled = _pool_dual(
+            lambda fs, bx: pool_box_features_batched(fs, bx, cfg), streams, s_boxes
+        )
+    else:
+        pooled = pool_box_features_batched(roi_feats, s_boxes, cfg)
 
     def per_image_head(pooled_i, boxes_i, gt_classes_i, s_valid_i, gt_boxes_i):
         x = apply_box_head(params["roi"]["box_head"], pooled_i, dtype=cfg.dtype)
@@ -374,6 +413,36 @@ def rcnn_train_losses(
     per_image_losses = dict(losses_b)
     per_image_losses.update(det_losses)
     return {k: jnp.mean(v) for k, v in per_image_losses.items()}
+
+
+def _pool_dual(pool_fn, streams, boxes: Array) -> Array:
+    """Dual-backbone pooling over the two C=256 streams, bit-identically
+    equal to pooling the channel concat: pooling is per-channel linear
+    (pool(concat_c(a, b)) == concat_c(pool(a), pool(b))) and independent per
+    batch row.
+
+    Why not simply pool the concat: C=512 windows force the kernel's shallow
+    nslot=3/r=1 slot budget AND hit a measured Mosaic cliff (~28 us/step vs
+    ~2.5, docs/PERF.md round 3d). Why two LAYOUTS here: the same cliff
+    afflicts exactly one kernel instance of the middle-fusion graph at
+    certain total-RoI counts (B=8 x K=1000 measured; the identical shapes
+    are fine standalone), so the dispatch picks the empirically clean
+    variant — batch-stacked single call at batch >= 8 (b8: 67 img/s vs 38
+    per-stream), two per-stream calls below (b4: 48 img/s vs 22 stacked).
+    Both variants compute identical values.
+    """
+    names = list(ROI_IN_FEATURES)
+    n = boxes.shape[0]
+    if n >= 8:
+        f_pair = [
+            jnp.concatenate([streams[0][f], streams[1][f]], axis=0) for f in names
+        ]
+        boxes2 = jnp.concatenate([boxes, boxes], axis=0)
+        pooled2 = pool_fn(f_pair, boxes2)  # (2N, K, P, P, C_stream)
+        return jnp.concatenate([pooled2[:n], pooled2[n:]], axis=-1)
+    return jnp.concatenate(
+        [pool_fn([s[f] for f in names], boxes) for s in streams], axis=-1
+    )
 
 
 def pool_box_features_batched(features, boxes, cfg: "ModelConfig") -> Array:

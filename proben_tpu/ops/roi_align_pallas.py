@@ -311,6 +311,24 @@ def multilevel_roi_align_pallas(
     interpret: Optional[bool] = None,
 ) -> Array:
     """Batched multi-level RoIAlignV2. Returns (B, K, P, P, C)."""
+    # C>256 (the middle-fusion concat backbone) runs as TWO channel-half
+    # calls: pooling is per-channel linear so the split is exact, and it
+    # sidesteps a measured Mosaic per-step cliff — C=512 windows put the
+    # kernel in a ~28 us/RoI regime at FLIR map sizes (vs ~2 us at C=256;
+    # trigger depends on batch x map dims, docs/PERF.md round 3d) on top of
+    # the shallower nslot=3/r=1 slot budget the 3.7 MB windows force.
+    if features[0].shape[-1] > 256:
+        c_total = features[0].shape[-1]
+        split = c_total // 2
+        outs = [
+            multilevel_roi_align_pallas(
+                [f[..., lo:hi] for f in features], boxes, list(strides),
+                output_size, sampling_ratio, min_level, canonical_box_size,
+                canonical_level, s_max, fallback_capacity, interpret,
+            )
+            for lo, hi in ((0, split), (split, c_total))
+        ]
+        return jnp.concatenate(outs, axis=-1)
     # pipeline depth bounded by VMEM (~16 MB): size the slot count from the
     # ACTUAL window bytes (C doubles to 512 for the middle-fusion concat
     # backbone, f32 doubles again) against a ~12 MB slot budget. 2 RoIs per

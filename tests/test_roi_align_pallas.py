@@ -83,6 +83,25 @@ def test_pallas_duplicate_window_dedup():
     _check(feats, boxes, ratio=0)
 
 
+def test_pallas_channel_split_c512():
+    """C>256 (middle-fusion concat width) runs as two channel-half calls —
+    must equal the gather path on the full-width features exactly (pooling
+    is per-channel linear, so the split is exact by construction)."""
+    rng = np.random.RandomState(9)
+    feats = [
+        jnp.concatenate([a, b], axis=-1)
+        for a, b in zip(_feats(rng), _feats(rng))
+    ]  # (B, ., ., 2C)
+    boxes = _boxes(rng, B, K)
+    want = jax.vmap(
+        lambda f0, f1, f2, f3, bx: multilevel_roi_align(
+            [f0, f1, f2, f3], bx, STRIDES, 7, 0
+        )
+    )(*feats, boxes)
+    got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3)
+
+
 def test_pallas_all_identical_boxes():
     """Degenerate extreme: every RoI shares ONE window (a single DMA serves
     the whole grid; slot rotation never advances)."""
