@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -35,12 +36,44 @@ def match(
     m, n = quality.shape
     # invalid gt rows can never win the argmax
     masked_q = jnp.where(gt_valid[:, None], quality, -1.0)
-    matched_vals = jnp.max(masked_q, axis=0) if m > 0 else jnp.full((n,), -1.0)
-    matched_idx = (
-        jnp.argmax(masked_q, axis=0).astype(jnp.int32)
-        if m > 0
-        else jnp.zeros((n,), jnp.int32)
-    )
+
+    forced = None
+    if m == 0:
+        matched_vals = jnp.full((n,), -1.0)
+        matched_idx = jnp.zeros((n,), jnp.int32)
+    elif allow_low_quality_matches:
+        # ONE variadic reduce over the gt axis computing (max, first-argmax,
+        # any(is_best)) together: the separate argmax and any() reductions
+        # each re-traversed (and re-fused the IoU compute of) the full
+        # (M, N) matrix — at RPN scale (100, 204k) x batch 8 that was two
+        # ~1.1-1.6 ms passes (docs/PERF.md round 3d). Exact semantics
+        # preserved: max-with-lowest-index is associative/commutative and
+        # equals jnp.argmax's first-occurrence tie-break.
+        highest_per_gt = jnp.max(masked_q, axis=1, keepdims=True)  # (M, 1)
+        is_best = (
+            (masked_q >= highest_per_gt) & (highest_per_gt > 0) & gt_valid[:, None]
+        )
+        iota = jax.lax.broadcasted_iota(jnp.int32, masked_q.shape, 0)
+
+        def combiner(acc, x):
+            av, ai, af = acc
+            xv, xi, xf = x
+            better = (xv > av) | ((xv == av) & (xi < ai))
+            return (
+                jnp.where(better, xv, av),
+                jnp.where(better, xi, ai),
+                af | xf,
+            )
+
+        matched_vals, matched_idx, forced = jax.lax.reduce(
+            (masked_q, iota, is_best),
+            (jnp.float32(-jnp.inf), jnp.int32(2**31 - 1), jnp.asarray(False)),
+            combiner,
+            (0,),
+        )
+    else:
+        matched_vals = jnp.max(masked_q, axis=0)
+        matched_idx = jnp.argmax(masked_q, axis=0).astype(jnp.int32)
 
     match_labels = jnp.full((n,), labels[0], jnp.int8)
     lo = float("-inf")
@@ -49,11 +82,8 @@ def match(
         match_labels = jnp.where(interval, jnp.int8(label), match_labels)
         lo = threshold
 
-    if allow_low_quality_matches and m > 0:
+    if forced is not None:
         # For each valid gt, predictions tying its max quality (if > 0) become fg.
-        highest_per_gt = jnp.max(masked_q, axis=1, keepdims=True)  # (M, 1)
-        is_best = (masked_q >= highest_per_gt) & (highest_per_gt > 0) & gt_valid[:, None]
-        forced = jnp.any(is_best, axis=0)  # (N,)
         match_labels = jnp.where(forced, jnp.int8(1), match_labels)
 
     return matched_idx, match_labels

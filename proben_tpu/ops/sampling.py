@@ -87,14 +87,19 @@ def sample_topk_indices(
     num_pos = jnp.minimum(pos_count, int(num_samples * positive_fraction))
     num_neg = jnp.minimum(neg_count, num_samples - num_pos)
 
-    _, pidx = jax.lax.top_k(jnp.where(pos_mask, rand, -1.0), k)
+    # the positives list never needs more than the positive-fraction cap
+    # (num_pos <= int(num_samples * positive_fraction)), so its top-k is
+    # bounded by kp, not num_samples — at RPN scale the 204k-wide top-k's
+    # cost scales with k
+    kp = max(1, min(int(num_samples * positive_fraction), k))
+    _, pidx = jax.lax.top_k(jnp.where(pos_mask, rand, -1.0), kp)
     _, nidx = jax.lax.top_k(jnp.where(neg_mask, rand, -1.0), k)
 
     j = jnp.arange(num_samples)
     take_pos = j < num_pos
     idx = jnp.where(
         take_pos,
-        pidx[jnp.minimum(j, k - 1)],
+        pidx[jnp.minimum(j, kp - 1)],
         nidx[jnp.clip(j - num_pos, 0, k - 1)],
     ).astype(jnp.int32)
     sampled_valid = j < (num_pos + num_neg)
