@@ -502,14 +502,25 @@ def _to_cfg(d):
 
 def make_ref_cfg(num_classes=3, depth=50, pre_nms_topk_test=1000,
                  post_nms_topk_test=1000, detections_per_image=100,
-                 score_thresh=0.05):
+                 score_thresh=0.05, input_format="BGR", num_in_channels=3,
+                 pixel_mean=None, pixel_std=None):
     """R50/R101-FPN GeneralizedRCNN config with the reference's default
     values (reference config/defaults.py), as a minimal attribute tree —
     yacs isn't installed here and only these keys are read by the modules
-    under test."""
+    under test. ``input_format``/``num_in_channels``/``pixel_mean`` select
+    the fork's multimodal variants (BGRT early fusion, BGRTTT dual-backbone
+    middle fusion — reference meta_arch/rcnn.py:34-66)."""
+    if pixel_mean is None:
+        pixel_mean = [103.53, 116.28, 123.675]
+        if num_in_channels > 3:
+            pixel_mean = pixel_mean + [135.438] * (num_in_channels - 3)
+    if pixel_std is None:
+        # rcnn.py:76 asserts len(PIXEL_MEAN) == len(PIXEL_STD); the BGRTTT
+        # branch then reads only PIXEL_STD[:3] (shared std)
+        pixel_std = [1.0] * len(pixel_mean)
     return _to_cfg({
         "VIS_PERIOD": 0,
-        "INPUT": {"FORMAT": "BGR", "NUM_IN_CHANNELS": 3},
+        "INPUT": {"FORMAT": input_format, "NUM_IN_CHANNELS": num_in_channels},
         "TEST": {"DETECTIONS_PER_IMAGE": detections_per_image},
         "MODEL": {
             "DEVICE": "cpu",
@@ -518,8 +529,8 @@ def make_ref_cfg(num_classes=3, depth=50, pre_nms_topk_test=1000,
             "LOAD_PROPOSALS": False,
             "BLUR_RGB": False,
             "MAX_POOL_RGB": False,
-            "PIXEL_MEAN": [103.53, 116.28, 123.675],
-            "PIXEL_STD": [1.0, 1.0, 1.0],
+            "PIXEL_MEAN": list(pixel_mean),
+            "PIXEL_STD": list(pixel_std),
             "BACKBONE": {"NAME": "build_resnet_fpn_backbone", "FREEZE_AT": 0},
             "RESNETS": {
                 "DEPTH": depth, "NORM": "FrozenBN", "NUM_GROUPS": 1,

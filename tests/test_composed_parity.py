@@ -74,7 +74,14 @@ def _calibrate_torch_model(model, img):
 
         inputs = [{"image": torch.as_tensor(img.transpose(2, 0, 1))}]
         images = model.preprocess_image(inputs)
-        features = model.backbone(images.tensor)
+        if getattr(model, "backbone_2", None) is not None:
+            # the reference's BGRTTT inference path (quirk-shared backbone)
+            t = images.tensor
+            f_rgb = model.backbone(t[:, :3])
+            f_t = model.backbone(t[:, 3:])
+            features = {k: torch.cat((f_rgb[k], f_t[k]), 1) for k in f_rgb}
+        else:
+            features = model.backbone(images.tensor)
         rpn = model.proposal_generator
         feats = [features[f] for f in rpn.in_features]
         logits, deltas = rpn.rpn_head(feats)
@@ -230,6 +237,90 @@ def test_composed_detection_parity(composed):
     ours_boxes = np.asarray(dets.boxes[0])[:n][order]
     ours_scores = np.asarray(dets.scores[0])[:n][order]
     ours_classes = np.asarray(dets.classes[0])[:n][order]
+    ref_order = np.argsort(-ref_scores, kind="stable")
+    np.testing.assert_allclose(
+        ours_scores, ref_scores[ref_order], rtol=5e-4, atol=5e-4
+    )
+    np.testing.assert_array_equal(ours_classes, ref_classes[ref_order])
+    np.testing.assert_allclose(
+        ours_boxes, ref_boxes[ref_order], rtol=1e-3, atol=2e-2
+    )
+
+
+@pytest.fixture(scope="module")
+def composed_mf():
+    """Composed parity fixture for the MIDDLE-FUSION (BGRTTT) graph: the
+    reference's real dual-backbone GeneralizedRCNN (meta_arch/rcnn.py:34-66
+    construction; :240-248 inference, where the thermal stream reuses
+    self.backbone — the fork's quirk) vs ``rcnn_inference`` with
+    ``middle_fusion_inference_shares_backbone=True`` on identical weights."""
+    full = ref_oracle.load_full_model()
+    cfg_ref = full.make_ref_cfg(
+        num_classes=NUM_CLASSES,
+        pre_nms_topk_test=PRE_NMS_TOPK,
+        post_nms_topk_test=POST_NMS_TOPK,
+        detections_per_image=DETECTIONS_PER_IMAGE,
+        input_format="BGRTTT",
+        num_in_channels=6,
+    )
+    torch.manual_seed(11)
+    model = full.GeneralizedRCNN(cfg_ref).eval()
+    rgb = _structured_image(seed=5)
+    thermal = _structured_image(seed=6)
+    img = np.concatenate([rgb, thermal], axis=-1)  # (H, W, 6)
+    _calibrate_torch_model(model, img)
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    cfg = build_config(
+        depth=50,
+        input_format="BGRTTT",
+        pixel_mean=(103.53, 116.28, 123.675, 135.438, 135.438, 135.438),
+        num_classes=NUM_CLASSES,
+        roi_align_impl="gather",
+        middle_fusion_inference_shares_backbone=True,  # the reference quirk
+        rpn=RPNConfig(
+            pre_nms_topk_test=PRE_NMS_TOPK,
+            post_nms_topk_test=POST_NMS_TOPK,
+        ),
+        roi=ROIHeadsConfig(num_classes=NUM_CLASSES),
+        rcnn=FastRCNNConfig(
+            num_classes=NUM_CLASSES,
+            topk_per_image=DETECTIONS_PER_IMAGE,
+            max_candidates=POST_NMS_TOPK * (NUM_CLASSES + 1),
+        ),
+    )
+    template = init_rcnn(jax.random.PRNGKey(0), cfg)
+    params = import_detectron2_checkpoint(sd, template, strict=True)
+    return full, model, cfg, params, img
+
+
+def test_composed_middle_fusion_detection_parity(composed_mf):
+    """Full BGRTTT inference graph — split normalizers, dual-stream feature
+    extraction (quirk-shared backbone), per-level channel concat, doubled-
+    channel RPN/box heads — reference ``GeneralizedRCNN.inference``
+    (rcnn.py:219-266) vs ``rcnn_inference`` on identical imported weights."""
+    full, model, cfg, params, img = composed_mf
+    inputs = [{"image": torch.as_tensor(img.transpose(2, 0, 1))}]
+    with torch.no_grad():
+        results = model.inference(inputs, do_postprocess=False)
+    r = results[0]
+    ref_boxes = r.pred_boxes.tensor.numpy()
+    ref_scores = r.scores.numpy()
+    ref_classes = r.pred_classes.numpy()
+
+    dets = rcnn_inference(
+        params, cfg, jnp.asarray(img[None]),
+        jnp.asarray(np.array([[H, W]], np.int32)),
+    )
+    valid = np.asarray(dets.valid[0])
+    n = int(valid.sum())
+    assert len(ref_boxes) >= 5, "fixture degenerated: too few ref detections"
+    assert n == len(ref_boxes), (n, len(ref_boxes))
+    order = np.argsort(-np.asarray(dets.scores[0])[:n], kind="stable")
+    ours_scores = np.asarray(dets.scores[0])[:n][order]
+    ours_classes = np.asarray(dets.classes[0])[:n][order]
+    ours_boxes = np.asarray(dets.boxes[0])[:n][order]
     ref_order = np.argsort(-ref_scores, kind="stable")
     np.testing.assert_allclose(
         ours_scores, ref_scores[ref_order], rtol=5e-4, atol=5e-4
