@@ -331,6 +331,129 @@ def test_composed_middle_fusion_detection_parity(composed_mf):
     )
 
 
+# ---------------------------------------------------------------------------
+# composed TRAIN-mode parity (round-4): the reference GeneralizedRCNN.forward
+# training graph — RPN anchor labeling/sampling/losses + proposal top-k +
+# label_and_sample_proposals + box-head losses composed as ONE program
+# (reference meta_arch/rcnn.py:146-217, roi_heads.py:121-183,
+# fast_rcnn.py:548) vs our rcnn_train_losses on identical weights + GT.
+#
+# Sampling is determinized by the IDENTITY-SAMPLING trick: batch_size_per_image
+# is set to the full candidate-set size on both sides, so subsample_labels
+# (reference sampling.py:7) keeps every fg and every bg row — torch.randperm
+# and our uniform-priority top-k then only permute a set that is summed over.
+# ---------------------------------------------------------------------------
+
+TRAIN_POST_NMS_TOPK = 300
+N_GT = 4
+
+
+def _gt_boxes():
+    """Fixed GT boxes overlapping the structured image's blob region."""
+    return np.array(
+        [
+            [10.0, 12.0, 52.0, 60.0],
+            [70.0, 20.0, 118.0, 92.0],
+            [30.0, 70.0, 64.0, 118.0],
+            [100.0, 60.0, 150.0, 110.0],
+        ],
+        np.float32,
+    )
+
+
+def _total_anchors():
+    """Total anchor count over p2..p6 at (H, W) with A=3 aspect ratios."""
+    total = 0
+    for s in (4, 8, 16, 32, 64):
+        total += -(-H // s) * -(-W // s) * 3
+    return total
+
+
+def _run_train_parity(model, cfg, params, img):
+    import dataclasses as dc
+
+    from proben_tpu.models.rcnn import rcnn_train_losses
+    from proben_tpu.structures import GroundTruth
+
+    n_anchors = _total_anchors()
+    gt_np = _gt_boxes()
+    roi_batch = TRAIN_POST_NMS_TOPK + N_GT
+
+    # --- reference side: flip to training mode with identity sampling ---
+    rpn = model.proposal_generator
+    roi = model.roi_heads
+    saved = (
+        rpn.batch_size_per_image, dict(rpn.post_nms_topk),
+        roi.batch_size_per_image, roi.positive_sample_fraction,
+    )
+    rpn.batch_size_per_image = n_anchors
+    rpn.post_nms_topk = {True: TRAIN_POST_NMS_TOPK, False: rpn.post_nms_topk[False]}
+    roi.batch_size_per_image = roi_batch
+    roi.positive_sample_fraction = 0.5
+    model.train()
+    try:
+        from detectron2.structures import Boxes, Instances
+
+        inst = Instances((H, W))
+        inst.gt_boxes = Boxes(torch.as_tensor(gt_np))
+        inst.gt_classes = torch.as_tensor([0, 1, 2, 1], dtype=torch.int64)
+        inputs = [{"image": torch.as_tensor(img.transpose(2, 0, 1)),
+                   "instances": inst}]
+        with torch.no_grad():
+            ref_losses = {k: float(v) for k, v in model(inputs).items()}
+    finally:
+        model.eval()
+        rpn.batch_size_per_image = saved[0]
+        rpn.post_nms_topk = saved[1]
+        roi.batch_size_per_image = saved[2]
+        roi.positive_sample_fraction = saved[3]
+
+    # --- our side: same identity-sampling config ---
+    cfg_train = cfg.replace(
+        rpn=dc.replace(
+            cfg.rpn,
+            batch_size_per_image=n_anchors,
+            post_nms_topk_train=TRAIN_POST_NMS_TOPK,
+        ),
+        roi=dc.replace(
+            cfg.roi, batch_size_per_image=roi_batch, positive_fraction=0.5
+        ),
+    )
+    gt = GroundTruth(
+        boxes=jnp.asarray(gt_np[None]),
+        classes=jnp.asarray(np.array([[0, 1, 2, 1]], np.int32)),
+        valid=jnp.asarray(np.ones((1, N_GT), bool)),
+    )
+    losses = rcnn_train_losses(
+        params, cfg_train, jnp.asarray(img[None]),
+        jnp.asarray(np.array([[H, W]], np.int32)), gt, jax.random.PRNGKey(0),
+    )
+    ours = {k: float(v) for k, v in losses.items()}
+
+    assert set(ours) == set(ref_losses), (sorted(ours), sorted(ref_losses))
+    for k in sorted(ref_losses):
+        np.testing.assert_allclose(
+            ours[k], ref_losses[k], rtol=2e-3, atol=1e-4, err_msg=k
+        )
+    # the fixture must actually exercise both loss families
+    assert ref_losses["loss_rpn_loc"] > 0 and ref_losses["loss_box_reg"] > 0
+
+
+def test_composed_train_parity(composed):
+    """Single-modality composed training-graph loss parity."""
+    full, model, cfg, params, img = composed
+    _run_train_parity(model, cfg, params, img)
+
+
+def test_composed_train_parity_middle_fusion(composed_mf):
+    """BGRTTT composed training-graph loss parity: split normalizers, dual
+    backbones (training uses backbone_2 on BOTH sides — the quirk is
+    inference-only, reference rcnn.py:183-197 vs :240-248), doubled-channel
+    heads, loss composition."""
+    full, model, cfg, params, img = composed_mf
+    _run_train_parity(model, cfg, params, img)
+
+
 def test_roialign_stub_matches_inrepo_oracle():
     """The torch ROIAlign stub that stands in for the reference's _C
     extension must itself match the in-repo numpy transliteration of
