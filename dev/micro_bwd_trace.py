@@ -2,6 +2,12 @@ import sys, os, time, glob, gzip, json, re
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
+
+_cache = os.path.expanduser("~/.cache/proben_tpu_xla_tpu")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 from proben_tpu.ops.roi_align import wholemap_roi_align_grad
 
 B, K, P, C = 8, 512, 7, 256

@@ -267,27 +267,24 @@ def rcnn_inference(
 
         boxes, scores, valid = jax.vmap(propose)(logits, deltas, image_sizes)
 
-        def pool(feats_list):
+        # return_perm: the pooled tensor stays in the kernel's window-sorted
+        # order and the (cheap, per-RoI) box metadata is permuted instead of
+        # un-permuting the (B*K, P, P, C) tensor (saves a full read+write
+        # pass, ~0.9 ms/batch; the head is row-wise so order is free).
+        def pool(fs, bx):
             return multilevel_roi_align_pallas(
-                feats_list,
-                boxes,
-                cfg.roi.in_strides,
-                cfg.roi.pooler_resolution,
+                fs, bx, cfg.roi.in_strides, cfg.roi.pooler_resolution,
                 cfg.roi.pooler_sampling_ratio,
                 fallback_capacity=cfg.roi.fallback_capacity,
+                return_perm=True,
             )
 
         if streams is not None:
-            pooled = _pool_dual(
-                lambda fs, bx: multilevel_roi_align_pallas(
-                    fs, bx, cfg.roi.in_strides, cfg.roi.pooler_resolution,
-                    cfg.roi.pooler_sampling_ratio,
-                    fallback_capacity=cfg.roi.fallback_capacity,
-                ),
-                streams, boxes,
-            )
+            pooled, perm = _pool_dual(pool, streams, boxes, with_perm=True)
         else:
-            pooled = pool(roi_feats)
+            pooled, perm = pool(roi_feats, boxes)
+        boxes = jnp.take_along_axis(boxes, perm[..., None], axis=1)
+        valid = jnp.take_along_axis(valid, perm, axis=1)
 
         def predict(pooled_i, boxes_i, valid_i, size_i):
             return roi_heads_predict_from_pooled(
@@ -415,7 +412,7 @@ def rcnn_train_losses(
     return {k: jnp.mean(v) for k, v in per_image_losses.items()}
 
 
-def _pool_dual(pool_fn, streams, boxes: Array) -> Array:
+def _pool_dual(pool_fn, streams, boxes: Array, with_perm: bool = False):
     """Dual-backbone pooling over the two C=256 streams, bit-identically
     equal to pooling the channel concat: pooling is per-channel linear
     (pool(concat_c(a, b)) == concat_c(pool(a), pool(b))) and independent per
@@ -439,10 +436,20 @@ def _pool_dual(pool_fn, streams, boxes: Array) -> Array:
         ]
         boxes2 = jnp.concatenate([boxes, boxes], axis=0)
         pooled2 = pool_fn(f_pair, boxes2)  # (2N, K, P, P, C_stream)
+        if with_perm:
+            # blocks j and n+j carry identical boxes, so their (channel-free,
+            # stable) within-block sort keys — and hence local perms — match
+            pooled2, perm2 = pooled2
+            return (
+                jnp.concatenate([pooled2[:n], pooled2[n:]], axis=-1),
+                perm2[:n],
+            )
         return jnp.concatenate([pooled2[:n], pooled2[n:]], axis=-1)
-    return jnp.concatenate(
-        [pool_fn([s[f] for f in names], boxes) for s in streams], axis=-1
-    )
+    outs = [pool_fn([s[f] for f in names], boxes) for s in streams]
+    if with_perm:
+        # identical boxes -> identical per-stream perms; keep the first
+        return jnp.concatenate([o[0] for o in outs], axis=-1), outs[0][1]
+    return jnp.concatenate(outs, axis=-1)
 
 
 def pool_box_features_batched(features, boxes, cfg: "ModelConfig") -> Array:

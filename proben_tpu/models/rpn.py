@@ -71,14 +71,23 @@ def apply_rpn_head(
     batch 8, only for a few thousand rows to be gathered downstream (see
     ``gather_deltas``).
     """
+    # objectness and deltas are two independent 1x1 convs off the shared
+    # hidden feature t; evaluating them as ONE conv with concatenated output
+    # channels halves the reads of t (210 MB at p2 x batch 8 — ~0.3 ms/batch).
+    # Per-output-channel contractions are independent, so this is
+    # bit-identical to two separate convs.
+    a = params["objectness"]["w"].shape[-1]
+    merged = {
+        "w": jnp.concatenate([params["objectness"]["w"], params["deltas"]["w"]], -1),
+        "b": jnp.concatenate([params["objectness"]["b"], params["deltas"]["b"]], -1),
+    }
     logits, deltas = [], []
     for f in features:
         t = jax.nn.relu(conv2d(f, params["conv"], stride=1, padding=1, dtype=dtype))
-        o = conv2d(t, params["objectness"], stride=1, padding=0, dtype=dtype)
-        d = conv2d(t, params["deltas"], stride=1, padding=0, dtype=dtype)
+        od = conv2d(t, merged, stride=1, padding=0, dtype=dtype)
         n, h, w, _ = f.shape
-        logits.append(o.reshape(n, -1).astype(jnp.float32))
-        deltas.append(d.reshape(n, h * w, -1).astype(jnp.float32))
+        logits.append(od[..., :a].reshape(n, -1).astype(jnp.float32))
+        deltas.append(od[..., a:].reshape(n, h * w, -1).astype(jnp.float32))
     return logits, deltas
 
 

@@ -257,15 +257,30 @@ def wholemap_roi_align(
         wy, _ = axis_weights(y1, bin_h, dim_h, zero, h_l, p, sampling_ratio, s_hi_y)
         wx, _ = axis_weights(x1, bin_w, dim_w, zero, w_l, p, sampling_ratio, s_hi_x)
         m = (lvl_idx == li).astype(jnp.float32)[:, None, None]
-        wy = wy * m
-        t1 = jnp.einsum(
-            "bph,hwc->bpwc", wy.astype(f.dtype), f,
-            preferred_element_type=jnp.float32,
-        ).astype(f.dtype)
-        out = out + jnp.einsum(
-            "bqw,bpwc->bpqc", wx.astype(f.dtype), t1,
-            preferred_element_type=jnp.float32,
-        )
+        # contract the LONGER spatial axis into the map first so the
+        # (B, P, dim, C) intermediate carries the shorter one (same traffic
+        # argument as wholemap_roi_align_grad: both dots run near HBM peak
+        # on the intermediate, so its size is the cost)
+        if h_l >= w_l:
+            wy = wy * m
+            t1 = jnp.einsum(
+                "bph,hwc->bpwc", wy.astype(f.dtype), f,
+                preferred_element_type=jnp.float32,
+            ).astype(f.dtype)
+            out = out + jnp.einsum(
+                "bqw,bpwc->bpqc", wx.astype(f.dtype), t1,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            wx = wx * m
+            t1 = jnp.einsum(
+                "bqw,hwc->bqhc", wx.astype(f.dtype), f,
+                preferred_element_type=jnp.float32,
+            ).astype(f.dtype)
+            out = out + jnp.einsum(
+                "bph,bqhc->bpqc", wy.astype(f.dtype), t1,
+                preferred_element_type=jnp.float32,
+            )
     return out
 
 
@@ -286,8 +301,9 @@ def apply_oow_fallback(
         return pooled
     k = boxes.shape[0]
     capacity = min(capacity, k)
-    order = jnp.argsort(jnp.where(oow, 0, 1))  # oow rows first (stable)
-    idx = order[:capacity]
+    # first `capacity` oow row indices: top_k on the 0/1 mask (ties broken
+    # toward lower indices) — a full argsort here cost a per-image sort pass
+    _, idx = jax.lax.top_k(oow.astype(jnp.int32), capacity)
     fb = wholemap_roi_align(
         features, boxes[idx], lvl_idx[idx], strides, output_size, sampling_ratio
     )

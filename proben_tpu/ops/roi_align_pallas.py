@@ -309,8 +309,17 @@ def multilevel_roi_align_pallas(
     s_max: int = 16,
     fallback_capacity: int = 32,
     interpret: Optional[bool] = None,
+    return_perm: bool = False,
 ) -> Array:
-    """Batched multi-level RoIAlignV2. Returns (B, K, P, P, C)."""
+    """Batched multi-level RoIAlignV2. Returns (B, K, P, P, C).
+
+    With ``return_perm`` returns (pooled, perm) where ``pooled`` stays in the
+    kernel's window-sorted order and ``perm`` (B, K) holds per-image local
+    indices such that ``pooled[b, j] == pooled_original[b, perm[b, j]]``.
+    Callers permute their per-RoI metadata instead — un-permuting the
+    (B*K, P, P, C) tensor itself costs a full read+write pass (~0.9 ms at
+    batch-8 bench shapes). Requires r | B*K (no padding rows).
+    """
     # C>256 (the middle-fusion concat backbone) runs as TWO channel-half
     # calls: pooling is per-channel linear so the split is exact, and it
     # sidesteps a measured Mosaic per-step cliff — C=512 windows put the
@@ -325,9 +334,13 @@ def multilevel_roi_align_pallas(
                 [f[..., lo:hi] for f in features], boxes, list(strides),
                 output_size, sampling_ratio, min_level, canonical_box_size,
                 canonical_level, s_max, fallback_capacity, interpret,
+                return_perm,
             )
             for lo, hi in ((0, split), (split, c_total))
         ]
+        if return_perm:
+            # both half-C calls sort by the same (channel-free) key
+            return jnp.concatenate([outs[0][0], outs[1][0]], axis=-1), outs[0][1]
         return jnp.concatenate(outs, axis=-1)
     # pipeline depth bounded by VMEM (~16 MB): size the slot count from the
     # ACTUAL window bytes (C doubles to 512 for the middle-fusion concat
@@ -471,10 +484,30 @@ def multilevel_roi_align_pallas(
     )(img_idx, lvl_idx_k, y0w, x0w, size_cls, dma_idx, dma_order,
       wyb, wx, *feats)
 
-    # undo the window sort (gather by inverse permutation; this sits inside
-    # the train path's custom VJP, so it is never differentiated)
-    inv_perm = jnp.argsort(perm)
-    pooled = pooled[inv_perm][:n].reshape(b, k, p, p, c)
+    if return_perm:
+        # keep the window-sorted order; hand the caller per-image local
+        # indices instead. The (img, ...) sort key is image-major and every
+        # image holds exactly k rows, so sorted block i IS image i.
+        assert n_pad == 0, "return_perm requires r | B*K"
+        local_perm = perm - (jnp.arange(nt, dtype=jnp.int32) // k) * k
+        fb_oow = oow[perm].reshape(b, k)
+        fb_boxes = flat_boxes[perm].reshape(b, k, 4)
+        fb_lvl = lvl_idx[perm].reshape(b, k)
+        pooled = pooled.reshape(b, k, p, p, c)
+    else:
+        # undo the window sort (gather by inverse permutation; this sits
+        # inside the train path's custom VJP, so it is never differentiated).
+        # The inverse is a scatter of iota — a second argsort costs a full
+        # 8k-row sort pass (~0.26 ms/batch) for the same result.
+        inv_perm = (
+            jnp.zeros((nt,), jnp.int32)
+            .at[perm]
+            .set(jnp.arange(nt, dtype=jnp.int32))
+        )
+        pooled = pooled[inv_perm][:n].reshape(b, k, p, p, c)
+        fb_oow = oow.reshape(b, k)
+        fb_boxes = boxes
+        fb_lvl = lvl_idx.reshape(b, k)
 
     if fallback_capacity > 0:
         def run_fallback(pooled_in):
@@ -485,11 +518,7 @@ def multilevel_roi_align_pallas(
                 )
 
             return jax.vmap(fb, in_axes=(0, 0, 0, 0, 0))(
-                pooled_in,
-                oow.reshape(b, k),
-                boxes,
-                lvl_idx.reshape(b, k),
-                list(features),
+                pooled_in, fb_oow, fb_boxes, fb_lvl, list(features),
             )
 
         # Batch-level gate: the exact whole-map re-pool is only needed when
@@ -501,6 +530,8 @@ def multilevel_roi_align_pallas(
         pooled = jax.lax.cond(
             jnp.any(oow[:n]), run_fallback, lambda p_: p_, pooled
         )
+    if return_perm:
+        return pooled, local_perm.reshape(b, k)
     return pooled
 
 
