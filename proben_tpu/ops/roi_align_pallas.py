@@ -46,6 +46,10 @@ from .roi_align import (
 
 Array = jnp.ndarray
 
+# Opt-in switch for the fused Pallas RoIAlign backward (see _pallas_train_bwd
+# for the round-4 measurements that keep the einsum path the default).
+USE_PALLAS_BWD = False
+
 # reduced DMA extents for RoIs whose weight span fits: the kernel is
 # window-DMA-bandwidth-bound, so the copied extent per RoI is the smallest
 # (y, x) class covering its exact weight span. x extents stay 16-aligned
@@ -573,17 +577,38 @@ def _pallas_train_fwd(features, boxes, strides, output_size, sampling_ratio,
 def _pallas_train_bwd(strides, output_size, sampling_ratio, min_level,
                       canonical_box_size, canonical_level, s_max,
                       fallback_capacity, res, g):
-    from .roi_align import wholemap_roi_align_grad
-
     features, boxes = res
 
-    def per_image(feats_i, boxes_i, g_i):
-        return wholemap_roi_align_grad(
-            list(feats_i), boxes_i, g_i, strides, output_size,
-            sampling_ratio, min_level, canonical_box_size, canonical_level,
-        )
+    if USE_PALLAS_BWD and jax.default_backend() == "tpu":
+        # fused Pallas backward (ops/roi_align_bwd_pallas): keeps the u
+        # intermediate in VMEM tile-by-tile. MEASURED round 4: the kernel
+        # itself is 7.6 ms at bench shapes (vs the einsum path's 12.2 ms
+        # after its y-first/longer-axis-first optimizations) but the
+        # XLA-side per-visit weight relayout gathers cost ~127 ms, and the
+        # block-diag first dot wastes FLOPs quadratically in the RoI block
+        # size — end-to-end it is parity-at-best with the einsum path, so
+        # the einsum backward stays the default (docs/PERF.md round 4).
+        from .roi_align_bwd_pallas import wholemap_grad_pallas
 
-    dfs = jax.vmap(per_image)(list(features), boxes, g)
+        dfs = wholemap_grad_pallas(
+            list(features), boxes, g, strides, output_size, sampling_ratio,
+            min_level, canonical_box_size, canonical_level, s_max,
+            fallback_capacity,
+        )
+    else:
+        # scatter-free einsum backward: both dots near HBM peak on the u
+        # intermediate, contraction ordered so u carries the shorter
+        # spatial axis (12.2 ms at batch-8 bench shapes)
+        from .roi_align import wholemap_roi_align_grad
+
+        def per_image(feats_i, boxes_i, g_i):
+            return wholemap_roi_align_grad(
+                list(feats_i), boxes_i, g_i, strides, output_size,
+                sampling_ratio, min_level, canonical_box_size,
+                canonical_level,
+            )
+
+        dfs = jax.vmap(per_image)(list(features), boxes, g)
     if isinstance(features, tuple):
         dfs = tuple(dfs)
     return dfs, jnp.zeros_like(boxes)
