@@ -149,6 +149,30 @@ def calibrate_closed_loop(base_params, fn, args, lo=0.0, hi=16.0, target=(20, 80
     return best
 
 
+V5E_PEAK_BF16 = 197e12  # TPU v5e per-chip bf16 peak FLOP/s
+
+
+def report_mfu(jit_fn, args, img_s, batch):
+    """FLOPs/img + MFU line on stderr (VERDICT r3: the 'actually fast' claim
+    needs the number on the record). Uses XLA's own cost analysis of the
+    EXACT compiled program (utils/analysis.flop_count is the same mechanism);
+    the compile is a cache hit for the already-jitted fn."""
+    try:
+        analysis = jit_fn.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", float("nan"))) / batch
+        tflops = flops * img_s / 1e12
+        print(
+            f"MFU: {flops / 1e9:.1f} GFLOP/img x {img_s:.1f} img/s = "
+            f"{tflops:.1f} TFLOP/s = {100 * tflops * 1e12 / V5E_PEAK_BF16:.1f}% "
+            f"of v5e bf16 peak",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001 — reporting only, never fail bench
+        print(f"MFU report unavailable: {e}", file=sys.stderr)
+
+
 def emit(metric, img_s, extra=""):
     print(
         json.dumps(
@@ -216,6 +240,7 @@ def bench_inference(trained_ckpt=None):
         print(f"realism(b{batch}): {n_dets:.1f} final dets/img above threshold",
               file=sys.stderr)
         img_s = retry_transient(_measure_batch, fn, p, imgs, sizes, batch, iters)
+        report_mfu(fn, (p, imgs[0], sizes), img_s, batch)
         return img_s, p
 
     # Stage A: batch 4 — cheapest compile, prints the insurance line.
@@ -226,6 +251,7 @@ def bench_inference(trained_ckpt=None):
 
     # Stage B: batch 8 (the throughput knee, docs/PERF.md) if budget allows.
     # Warm-cache compile is seconds; a cold compile needs the headroom.
+    img_s8 = None
     if _left() > 60:
         img_s8, _ = run_stage(8, 2, 16, calib_params=calib)
         emit("flir_faster_rcnn_r101_inference", img_s8)
@@ -234,6 +260,58 @@ def bench_inference(trained_ckpt=None):
     else:
         print("[skipping batch-8 stage: insufficient budget left]",
               file=sys.stderr)
+
+    # Stage C (optional): the BGRTTT middle-fusion model — the capability the
+    # reference exists for (reference meta_arch/rcnn.py:183-197) — measured at
+    # batch 8 in the same run. The flagship line is RE-EMITTED afterwards:
+    # the driver parses the LAST JSON line as the headline metric, and the
+    # headline stays the thermal-only flagship (BASELINE.json's benchmark).
+    if _left() > 75:
+        try:
+            bench_mf_stage()
+        except Exception as e:  # noqa: BLE001 — optional stage, never fatal
+            print(f"[stage C middle-fusion failed: {e}]", file=sys.stderr)
+    else:
+        print("[skipping middle-fusion stage: insufficient budget left]",
+              file=sys.stderr)
+    if img_s8 is not None:
+        emit("flir_faster_rcnn_r101_inference", img_s8)
+    else:
+        emit("flir_faster_rcnn_r101_inference", img_s4)
+
+
+def bench_mf_stage():
+    """Middle-fusion (dual R101 backbone, per-level channel concat) batch-8
+    inference, calibrated the same way as the flagship (calibrated-random
+    weights; the thermal-only trained ckpt does not fit the dual backbone)."""
+    import jax
+    import jax.numpy as jnp
+
+    from proben_tpu.models import build_config, init_rcnn, rcnn_inference
+
+    cfg = build_config(depth=101, input_format="BGRTTT", num_classes=3,
+                       compute_dtype="bfloat16")
+    params = retry_transient(host_init, lambda k: init_rcnn(k, cfg),
+                             jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = 8
+    sizes = jnp.asarray(np.tile([[800, 1000]], (batch, 1)).astype(np.int32))
+    fn = jax.jit(lambda p, im, sz: rcnn_inference(p, cfg, im, sz))
+    base = structured_images(rng, 2, batch, 800, 1024, 3)
+    # 6-channel input: RGB stream + thermal-like stream (same structure)
+    imgs = [jnp.asarray(np.concatenate([a, a[..., ::-1]], axis=-1))
+            for a in base]
+    retry_transient(lambda: np.asarray(fn(params, imgs[0], sizes).scores))
+    # hi=32: the dual-backbone random-weight score surface needs a larger
+    # background bias than single-modality before dets/img leaves the topk cap
+    p, n_dets, _ = calibrate_closed_loop(params, fn, (imgs[0], sizes),
+                                         hi=32.0, steps=6)
+    print(f"realism(mf b{batch}): {n_dets:.1f} final dets/img above threshold",
+          file=sys.stderr)
+    img_s = retry_transient(_measure_batch, fn, p, imgs, sizes, batch, 12)
+    emit("flir_faster_rcnn_r101_mf_inference", img_s)
+    report_mfu(fn, (p, imgs[0], sizes), img_s, batch)
+    print(f"[stage C done at t={time.time() - T_START:.0f}s]", file=sys.stderr)
 
 
 def bench_train():

@@ -1,14 +1,33 @@
 """AOT-compile every shipped config's train step + inference on the TPU.
 
 CI runs the CPU interpreter where Mosaic/VMEM constraints don't exist; this
-catches compile-only faults like the middle-fusion C=512 VMEM overflow."""
+catches compile-only faults like the middle-fusion C=512 VMEM overflow.
+
+Full sweep ~10 min cold. `--changed-configs [REF]` restricts to configs whose
+files changed vs the git ref (default HEAD~1) — ~3 min when one config moved.
+A model/ops change affects EVERY config; run the full sweep for those.
+"""
 import glob
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
+
+
+def changed_config_paths(ref):
+    out = subprocess.run(
+        ["git", "diff", "--name-only", ref, "--", "configs/"],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ).stdout.split()
+    changed = set(out)
+    # a changed _BASE_ dirties every config that inherits from it
+    if any("Base-" in p for p in changed):
+        return None  # full sweep
+    return changed
 
 
 def main():
@@ -24,10 +43,21 @@ def main():
     from proben_tpu.models import init_rcnn, rcnn_inference
     from proben_tpu.structures import GroundTruth
 
+    only = None
+    if "--changed-configs" in sys.argv:
+        i = sys.argv.index("--changed-configs")
+        ref = sys.argv[i + 1] if len(sys.argv) > i + 1 else "HEAD~1"
+        only = changed_config_paths(ref)
+        if only is not None and not only:
+            print(f"no configs changed vs {ref}; nothing to smoke")
+            return
+
     failures = []
     for path in sorted(glob.glob("configs/**/*.yaml", recursive=True)):
         name = os.path.relpath(path)
         if "Base-" in name:
+            continue
+        if only is not None and name not in only:
             continue
         cfg = get_cfg()
         cfg.merge_from_file(path)
