@@ -126,3 +126,43 @@ def conv_q(x, w):
 
 bench("stem quad-s2d 7x2/(2,1) C=12 out128+reshape", conv_q, xq, wq,
       flops=2 * B * 400 * 256 * 7 * 2 * 12 * 128)
+
+
+# --- stem alternatives (round 4): can XLA beat its own 7x7/s2 C=3 codegen? ---
+
+# raw C=3 7x7/2 (what the reference formulation costs, for scale)
+xr = jnp.asarray(rng.rand(B, 800, 1024, 3), jnp.bfloat16)
+wr = jnp.asarray(rng.rand(7, 7, 3, 64) * 0.01, jnp.bfloat16)
+bench("stem raw 7x7/2 C=3", lambda x, w: jax.lax.conv_general_dilated(
+    x, w, (2, 2), [(3, 3), (3, 3)],
+    dimension_numbers=("NHWC", "HWIO", "NHWC")), xr, wr,
+    flops=2 * B * 400 * 512 * 7 * 7 * 3 * 64)
+
+# NCHW dimension numbers (different XLA codegen path for small C?)
+xn = jnp.asarray(rng.rand(B, 3, 800, 1024), jnp.bfloat16)
+wn = jnp.asarray(rng.rand(64, 3, 7, 7) * 0.01, jnp.bfloat16)
+bench("stem raw 7x7/2 C=3 NCHW", lambda x, w: jax.lax.conv_general_dilated(
+    x, w, (2, 2), [(3, 3), (3, 3)],
+    dimension_numbers=("NCHW", "OIHW", "NCHW")), xn, wn,
+    flops=2 * B * 400 * 512 * 7 * 7 * 3 * 64)
+
+# explicit im2col: 49 strided slices -> concat C -> 1x1 conv (one big dot).
+# K=147; patch tensor (B,400,512,147) bf16 = 275 MB (write+read ~0.7 ms at BW)
+wi = jnp.asarray(rng.rand(7, 7, 3, 64).reshape(147, 64) * 0.01, jnp.bfloat16)
+xp = jnp.pad(xr, ((0, 0), (3, 4), (3, 4), (0, 0)))
+
+
+def stem_im2col(x, w):
+    cols = []
+    for ky in range(7):
+        for kx in range(7):
+            cols.append(jax.lax.slice(
+                x, (0, ky, kx, 0), (B, ky + 800, kx + 1024, 3), (1, 2, 2, 1)))
+    patches = jnp.concatenate(cols, axis=-1)  # (B, 400, 512, 147)
+    return jax.lax.dot_general(
+        patches, w, (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.bfloat16)
+
+
+bench("stem im2col 49-slice concat + dot", stem_im2col, xp, wi,
+      flops=2 * B * 400 * 512 * 147 * 64)

@@ -420,13 +420,15 @@ def _pool_dual(pool_fn, streams, boxes: Array, with_perm: bool = False):
 
     Why not simply pool the concat: C=512 windows force the kernel's shallow
     nslot=3/r=1 slot budget AND hit a measured Mosaic cliff (~28 us/step vs
-    ~2.5, docs/PERF.md round 3d). Why two LAYOUTS here: the same cliff
-    afflicts exactly one kernel instance of the middle-fusion graph at
-    certain total-RoI counts (B=8 x K=1000 measured; the identical shapes
-    are fine standalone), so the dispatch picks the empirically clean
+    ~2.5, docs/PERF.md round 3d). Why two LAYOUTS here: the cliff afflicts
+    specific graph positions, so the dispatch picks the empirically clean
     variant — batch-stacked single call at batch >= 8 (b8: 67 img/s vs 38
     per-stream), two per-stream calls below (b4: 48 img/s vs 22 stacked).
-    Both variants compute identical values.
+    Both variants compute identical values. dev/mosaic_cliff_repro.py pins
+    ONE trigger mode (two instances consuming conv-produced intermediates;
+    an optimization_barrier restores it) — but the b4 stacked cliff is a
+    DIFFERENT mode: barrier-stacked b4 measured 22.3 img/s (still cliffed),
+    so the empirical dispatch stays.
     """
     names = list(ROI_IN_FEATURES)
     n = boxes.shape[0]
