@@ -126,47 +126,109 @@ def conv2d(
     return out[0] if squeeze else out
 
 
+# pack24 stem weight-placement tables (see conv2d_stem_s2d): for main-conv
+# tap (hp, wq), packed-channel block b = 4*s + 2*hr + wr and output phase p,
+# the contributing original tap is (ky, kx) = (2*hp + hr - 1,
+# 4*wq + 2*s + wr - 1 - 2*p), zero where out of the 7x7 kernel.
+_P24_KY = np.full((4, 3, 8, 2), 0, np.int32)
+_P24_KX = np.full((4, 3, 8, 2), 0, np.int32)
+_P24_VALID = np.zeros((4, 3, 8, 2), bool)
+for _hp in range(4):
+    for _wq in range(3):
+        for _b in range(8):
+            _s, _hr, _wr = _b >> 2, (_b >> 1) & 1, _b & 1
+            for _p in range(2):
+                _ky = 2 * _hp + _hr - 1
+                _kx = 4 * _wq + 2 * _s + _wr - 1 - 2 * _p
+                if 0 <= _ky < 7 and 0 <= _kx < 7:
+                    _P24_KY[_hp, _wq, _b, _p] = _ky
+                    _P24_KX[_hp, _wq, _b, _p] = _kx
+                    _P24_VALID[_hp, _wq, _b, _p] = True
+
+
+def _pack24_weights(w: Array) -> Array:
+    """(7, 7, C, O) -> (4, 3, 8C, 2O) weights for the 2x4-packed stem.
+    Pure placement (gather + zero mask): exact in any dtype, and its VJP is
+    the exact scatter-add back onto the 7x7 kernel."""
+    c, o = w.shape[2], w.shape[3]
+    sel = w[_P24_KY, _P24_KX]  # (4, 3, 8, 2, C, O)
+    sel = jnp.where(_P24_VALID[..., None, None], sel, 0)
+    return jnp.transpose(sel, (0, 1, 2, 4, 3, 5)).reshape(4, 3, 8 * c, 2 * o)
+
+
 def conv2d_stem_s2d(x: Array, params, dtype=None) -> Array:
     """The 7x7/stride-2 stem conv (reference ``resnet.py`` BasicStem) computed
-    as an exact 7x4/(2,1) conv on WIDTH-ONLY 2x space-to-depth input.
+    as an exact 12-tap conv on 2x4 (H-pair x W-quad) space-to-depth input.
 
-    Why: with C_in=3 the MXU sees tiny input-channel utilization and the stem
-    measured ~4 ms/step at batch 8 (largest single conv in the trace).
-    Packing pixel PAIRS along W into channels (C_in -> 2*C_in) doubles the
-    contraction depth — and because (W-pair, channel) are ADJACENT in NHWC
-    memory, the packing is a FREE reshape. The earlier 2x2 (H and W) packing
-    reached 4*C_in but its H interleave is a real transpose that lowered to
-    ~2 ms/step of layout copies (and blocked the upstream f32 normalize +
-    bf16 convert from fusing); width-only wins end to end.
+    Why: with C_in=3 the MXU sees tiny input-channel utilization and the raw
+    stem measured ~6.9 ms/step at batch 8. XLA's small-C conv cost follows a
+    measured law of ~0.165 ms per spatial kernel position PLUS an input
+    spatial-position streaming floor (dev/micro_conv.py, dev/stem_decompose
+    .py, docs/PERF.md round 4) — so the win is packing BOTH dims: H-pairs
+    and W-quads into channels (C -> 8C), shrinking the kernel to 4x3 taps
+    and the input to a quarter of the spatial positions. The H interleave is
+    a real transpose, but XLA fuses it into the conv's input read: the whole
+    packed stem measured 1.48 ms vs 4.67 for the previous width-pair 7x4
+    form (which this replaces; it had kept H unpacked to avoid exactly this
+    transpose — measured fused, that fear was wrong at this shape).
 
-    Exactness: pad the kernel's x taps to 8 at the front (one zero column,
-    shifting effective x padding 3 -> 4), split tap index dx = 2a + r, and
-    fold r into channels — the same products are summed, just regrouped.
+    Exactness: pure regrouping. Output (i, w'=2Q+p) sums x[2i-3+ky, 4Q+2p-3+kx]
+    * w[ky, kx]; with input row-pairs (hr) and quad slots (s, wr) folded into
+    channels, each product appears exactly once in the packed form with
+    weight placed at (hp, wq, 4s+2hr+wr, p) per the tables above; pad taps
+    beyond the 7x7 kernel carry exact zeros. Padding (2,1)x(1,1) in packed
+    units brackets the original pixel padding of 3.
     """
     w = params["w"]  # (7, 7, C, O)
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
     n, h, wd, c = x.shape
-    if w.shape[0] != 7 or w.shape[1] != 7 or wd % 2:
-        return conv2d(x[0] if squeeze else x, params, stride=2, padding=3, dtype=dtype)
+    o = w.shape[3]
     if dtype is not None:
         w = w.astype(dtype)
-    o = w.shape[3]
-    w8 = jnp.pad(w, ((0, 0), (1, 0), (0, 0), (0, 0)))  # (7, 8, C, O)
-    w2 = w8.reshape(7, 4, 2 * c, o)  # x-tap fold (a, (r, c)) — layout-exact
-    x2 = x.reshape(n, h, wd // 2, 2 * c)  # free: (W-pair, C) adjacent in NHWC
-    if dtype is not None:
-        # the convert (and the f32 normalize upstream) fuse into one
-        # elementwise kernel — no layout copy exists in this stem at all
-        x2 = x2.astype(dtype)
-    out = jax.lax.conv_general_dilated(
-        x2,
-        w2,
-        window_strides=(2, 1),
-        padding=[(3, 3), (2, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    import os as _os
+    _impl = _os.environ.get("PROBEN_STEM_IMPL", "pack24")
+    if (w.shape[0] == 7 and w.shape[1] == 7 and wd % 4 == 0 and h % 2 == 0
+            and _impl == "pack24"):
+        # 2x4 pack: (n, h, wd, c) -> (n, h/2, wd/4, 8c), channel
+        # (s, hr, wr, cc). Convert FIRST (fuses with the f32 normalize
+        # producer), then interleave H-pairs as two strided row slices +
+        # stack — measured to fuse into the conv input read (1.44 ms total
+        # standalone) where the equivalent 6D transpose materialized ~3.2 ms
+        # of copies in-graph (round-4 trace, dev/stem_pack_xla.py)
+        xc = x.reshape(n, h, wd // 2, 2 * c)
+        if dtype is not None:
+            xc = xc.astype(dtype)
+        st = jnp.stack([xc[:, 0::2], xc[:, 1::2]], axis=3)
+        x2 = st.reshape(n, h // 2, wd // 4, 8 * c)
+        out = jax.lax.conv_general_dilated(
+            x2,
+            _pack24_weights(w),
+            window_strides=(1, 1),
+            padding=[(2, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = out.reshape(n, h // 2, wd // 2, o)
+    elif w.shape[0] == 7 and w.shape[1] == 7 and wd % 2 == 0:
+        # width-pair fallback (odd-H or W%4 inputs): exact 7x4/(2,1) form —
+        # pad the kernel's x taps to 8 at the front (one zero column,
+        # shifting effective x padding 3 -> 4), split tap dx = 2a + r, fold
+        # r into channels
+        w8 = jnp.pad(w, ((0, 0), (1, 0), (0, 0), (0, 0)))  # (7, 8, C, O)
+        w2 = w8.reshape(7, 4, 2 * c, o)
+        x2 = x.reshape(n, h, wd // 2, 2 * c)  # free: (W-pair, C) adjacent
+        if dtype is not None:
+            x2 = x2.astype(dtype)
+        out = jax.lax.conv_general_dilated(
+            x2,
+            w2,
+            window_strides=(2, 1),
+            padding=[(3, 3), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    else:
+        return conv2d(x[0] if squeeze else x, params, stride=2, padding=3, dtype=dtype)
     if "b" in params:
         out = out + params["b"].astype(out.dtype)
     return out[0] if squeeze else out

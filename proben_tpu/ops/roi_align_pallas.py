@@ -28,6 +28,7 @@ silently clamped their samples into the window.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -461,6 +462,21 @@ def multilevel_roi_align_pallas(
         wyb = jnp.where(gmode_dup[:, None, None], wyb_dup, wyb_pair)
     else:
         wyb = wyb_pair
+
+    # Mosaic producer-adjacency cliff guard: a kernel instance whose feature
+    # operands are consumed DIRECTLY from conv-produced intermediates can
+    # fall into a deterministic ~28 us/grid-step mode (~8x) depending on
+    # graph position — round 4 saw the single-modality b8 instance flip into
+    # it from an unrelated STEM reformulation (13.4 -> 111.2 ms/batch). The
+    # barrier pins the producer/kernel scheduling boundary and restores the
+    # fast mode (dev/mosaic_cliff_repro.py pins this trigger); the operands
+    # are materialized FPN maps either way, so it costs nothing.
+    feats = list(jax.lax.optimization_barrier(tuple(feats)))
+    if os.environ.get("PROBEN_POOL_FLATTEN", "0") == "1":
+        # layout-normalization probe: flatten+reshape is a bitcast when the
+        # level map already has the default layout, a relayout copy when an
+        # upstream layout choice propagated into it
+        feats = [f.reshape(-1).reshape(f.shape) for f in feats]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
