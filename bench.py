@@ -13,8 +13,10 @@ Round-3 hardening (BENCH_r02.json was rc=124/parsed-null — a 404 s cold run
 exceeded the driver budget):
   * persistent XLA compilation cache (same mechanism as __graft_entry__):
     remote axon compiles are the dominant cost; warm runs skip them.
-  * deadline-aware staging: batch-4 measured+printed first, batch-8 only if
-    the remaining self-budget (PROBEN_BENCH_DEADLINE, default 240 s) allows.
+  * staged emission: the batch-4 insurance line is measured+printed first;
+    batch-8 and middle-fusion are then ALWAYS attempted (round 5: the driver
+    keeps the last parsed JSON line even on a timeout kill, so late stages
+    risk nothing — the old deadline skip only ever destroyed upside).
   * one retry on transient axon faults ("remote_compile" / "TPU worker
     crashed" / FAILED_PRECONDITION — CLAUDE.md's own advice).
 
@@ -249,31 +251,30 @@ def bench_inference(trained_ckpt=None):
     print(f"[stage A done at t={time.time() - T_START:.0f}s, "
           f"{_left():.0f}s left]", file=sys.stderr)
 
-    # Stage B: batch 8 (the throughput knee, docs/PERF.md) if budget allows.
-    # Warm-cache compile is seconds; a cold compile needs the headroom.
+    # Stage B: batch 8 (the throughput knee, docs/PERF.md). ALWAYS attempted:
+    # the insurance line is already on stdout, and the driver parses the LAST
+    # JSON line from the tail even on a timeout kill (the r02 rc=124 run's
+    # tail was recorded), so attempting B/C can only improve the record.
+    # The old `_left() > 60` gate converted round-4's cold cache into a lost
+    # b8 headline (BENCH_r04 = 98.67 while head perf was ~150).
     img_s8 = None
-    if _left() > 60:
+    try:
         img_s8, _ = run_stage(8, 2, 16, calib_params=calib)
         emit("flir_faster_rcnn_r101_inference", img_s8)
         print(f"[stage B done at t={time.time() - T_START:.0f}s]",
               file=sys.stderr)
-    else:
-        print("[skipping batch-8 stage: insufficient budget left]",
-              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — insurance line already emitted
+        print(f"[stage B failed: {e}]", file=sys.stderr)
 
-    # Stage C (optional): the BGRTTT middle-fusion model — the capability the
+    # Stage C: the BGRTTT middle-fusion model — the capability the
     # reference exists for (reference meta_arch/rcnn.py:183-197) — measured at
     # batch 8 in the same run. The flagship line is RE-EMITTED afterwards:
     # the driver parses the LAST JSON line as the headline metric, and the
     # headline stays the thermal-only flagship (BASELINE.json's benchmark).
-    if _left() > 75:
-        try:
-            bench_mf_stage()
-        except Exception as e:  # noqa: BLE001 — optional stage, never fatal
-            print(f"[stage C middle-fusion failed: {e}]", file=sys.stderr)
-    else:
-        print("[skipping middle-fusion stage: insufficient budget left]",
-              file=sys.stderr)
+    try:
+        bench_mf_stage()
+    except Exception as e:  # noqa: BLE001 — optional stage, never fatal
+        print(f"[stage C middle-fusion failed: {e}]", file=sys.stderr)
     if img_s8 is not None:
         emit("flir_faster_rcnn_r101_inference", img_s8)
     else:

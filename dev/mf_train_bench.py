@@ -34,7 +34,7 @@ print(f"mf train: pad {h}x{w}, C={c}", file=sys.stderr, flush=True)
 params = _bench.retry_transient(_bench.host_init, lambda k: init_rcnn(k, mcfg),
                                 jax.random.PRNGKey(0))
 mask = jax.tree_util.tree_map(lambda _: True, params)
-for key in ("backbone", "backbone2"):
+for key in ("backbone", "backbone_2"):
     if key in params:
         mask[key] = freeze_mask(params[key], cfg.MODEL.BACKBONE.FREEZE_AT)
 init_state, step = make_train_step(mcfg, scfg, mask)

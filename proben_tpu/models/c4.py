@@ -61,7 +61,8 @@ def rcnn_c4_inference(
 ) -> Detections:
     x = preprocess(cfg, images)
     feats = apply_resnet(
-        params["backbone"], x, out_features=("res4",), dtype=cfg.dtype
+        params["backbone"], x, out_features=("res4",), dtype=cfg.dtype,
+        stem_impl=cfg.stem_impl,
     )
     res4 = feats["res4"]
     logits, deltas = apply_rpn_head(params["rpn_head"], [res4], dtype=cfg.dtype)
@@ -98,7 +99,7 @@ def rcnn_c4_train_losses(
     x = preprocess(cfg, images)
     feats = apply_resnet(
         params["backbone"], x, out_features=("res4",),
-        freeze_at=cfg.freeze_at, dtype=cfg.dtype,
+        freeze_at=cfg.freeze_at, dtype=cfg.dtype, stem_impl=cfg.stem_impl,
     )
     res4 = feats["res4"]
     logits, deltas = apply_rpn_head(params["rpn_head"], [res4], dtype=cfg.dtype)

@@ -156,7 +156,7 @@ def _pack24_weights(w: Array) -> Array:
     return jnp.transpose(sel, (0, 1, 2, 4, 3, 5)).reshape(4, 3, 8 * c, 2 * o)
 
 
-def conv2d_stem_s2d(x: Array, params, dtype=None) -> Array:
+def conv2d_stem_s2d(x: Array, params, dtype=None, impl: str = "pack24") -> Array:
     """The 7x7/stride-2 stem conv (reference ``resnet.py`` BasicStem) computed
     as an exact 12-tap conv on 2x4 (H-pair x W-quad) space-to-depth input.
 
@@ -187,10 +187,12 @@ def conv2d_stem_s2d(x: Array, params, dtype=None) -> Array:
     o = w.shape[3]
     if dtype is not None:
         w = w.astype(dtype)
-    import os as _os
-    _impl = _os.environ.get("PROBEN_STEM_IMPL", "pack24")
+    # impl is threaded from ModelConfig.stem_impl (MODEL.STEM_IMPL) — a
+    # visible, checkpointable switch instead of a trace-time env read:
+    # "pack24" (2x4 space-to-depth, default), "wpair" (width-pair 7x4),
+    # "direct" (plain 7x7/s2 conv). Unsupported shapes fall through.
     if (w.shape[0] == 7 and w.shape[1] == 7 and wd % 4 == 0 and h % 2 == 0
-            and _impl == "pack24"):
+            and impl == "pack24"):
         # 2x4 pack: (n, h, wd, c) -> (n, h/2, wd/4, 8c), channel
         # (s, hr, wr, cc). Convert FIRST (fuses with the f32 normalize
         # producer), then interleave H-pairs as two strided row slices +
@@ -210,7 +212,8 @@ def conv2d_stem_s2d(x: Array, params, dtype=None) -> Array:
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         out = out.reshape(n, h // 2, wd // 2, o)
-    elif w.shape[0] == 7 and w.shape[1] == 7 and wd % 2 == 0:
+    elif (w.shape[0] == 7 and w.shape[1] == 7 and wd % 2 == 0
+          and impl != "direct"):
         # width-pair fallback (odd-H or W%4 inputs): exact 7x4/(2,1) form —
         # pad the kernel's x taps to 8 at the front (one zero column,
         # shifting effective x padding 3 -> 4), split tap dx = 2a + r, fold

@@ -76,6 +76,9 @@ class ModelConfig:
     max_pool_rgb: bool = False
     # checkpoint backbone blocks during training (memory for big batches)
     remat_backbone: bool = False
+    # stem lowering: "pack24" (2x4 space-to-depth — see layers.py
+    # conv2d_stem_s2d), "wpair" (width-pair 7x4), "direct" (plain 7x7/s2)
+    stem_impl: str = "pack24"
     rpn: RPNConfig = dataclasses.field(default_factory=RPNConfig)
     roi: ROIHeadsConfig = dataclasses.field(default_factory=ROIHeadsConfig)
     rcnn: FastRCNNConfig = dataclasses.field(default_factory=FastRCNNConfig)
@@ -191,14 +194,14 @@ def extract_features(
         rgb, thermal = images[..., :3], images[..., 3:]
         f_rgb = apply_fpn(
             params["fpn"],
-            apply_resnet(params["backbone"], rgb, freeze_at=freeze, dtype=dtype, remat=remat),
+            apply_resnet(params["backbone"], rgb, freeze_at=freeze, dtype=dtype, remat=remat, stem_impl=cfg.stem_impl),
             dtype=dtype,
         )
         bb2 = "backbone" if (not training and cfg.middle_fusion_inference_shares_backbone) else "backbone_2"
         fpn2 = "fpn" if (not training and cfg.middle_fusion_inference_shares_backbone) else "fpn_2"
         f_t = apply_fpn(
             params[fpn2],
-            apply_resnet(params[bb2], thermal, freeze_at=freeze, dtype=dtype, remat=remat),
+            apply_resnet(params[bb2], thermal, freeze_at=freeze, dtype=dtype, remat=remat, stem_impl=cfg.stem_impl),
             dtype=dtype,
         )
         if training and cfg.blur_rgb:
@@ -213,7 +216,8 @@ def extract_features(
         cat = {k: jnp.concatenate([f_rgb[k], f_t[k]], axis=-1) for k in f_rgb}
         return (cat, (f_rgb, f_t)) if return_streams else cat
     feats = apply_resnet(
-        params["backbone"], images, freeze_at=freeze, dtype=dtype, remat=remat
+        params["backbone"], images, freeze_at=freeze, dtype=dtype, remat=remat,
+        stem_impl=cfg.stem_impl,
     )
     out = apply_fpn(params["fpn"], feats, dtype=dtype)
     return (out, None) if return_streams else out

@@ -108,6 +108,7 @@ def apply_resnet(
     freeze_at: int = 0,
     dtype=None,
     remat: bool = False,
+    stem_impl: str = "pack24",
 ) -> Dict[str, Array]:
     """Run the backbone. ``freeze_at`` semantics mirror the reference
     (1 = freeze stem, 2 = +res2, ...): frozen sections run under
@@ -115,7 +116,7 @@ def apply_resnet(
     each residual block (recompute activations in backward) — trades ~30%
     step time for the memory to fit large training batches."""
     out: Dict[str, Array] = {}
-    h = conv2d_stem_s2d(x, params["stem"]["conv1"], dtype=dtype)
+    h = conv2d_stem_s2d(x, params["stem"]["conv1"], dtype=dtype, impl=stem_impl)
     h = jax.nn.relu(affine(h, params["stem"]["norm1"]))
     h = max_pool(h, 3, 2, padding=1)
     if freeze_at >= 1:

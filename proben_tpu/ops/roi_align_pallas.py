@@ -504,17 +504,22 @@ def multilevel_roi_align_pallas(
     )(img_idx, lvl_idx_k, y0w, x0w, size_cls, dma_idx, dma_order,
       wyb, wx, *feats)
 
-    if return_perm:
+    if return_perm and n_pad == 0:
         # keep the window-sorted order; hand the caller per-image local
         # indices instead. The (img, ...) sort key is image-major and every
         # image holds exactly k rows, so sorted block i IS image i.
-        assert n_pad == 0, "return_perm requires r | B*K"
         local_perm = perm - (jnp.arange(nt, dtype=jnp.int32) // k) * k
         fb_oow = oow[perm].reshape(b, k)
         fb_boxes = flat_boxes[perm].reshape(b, k, 4)
         fb_lvl = lvl_idx[perm].reshape(b, k)
         pooled = pooled.reshape(b, k, p, p, c)
     else:
+        # n_pad != 0 (r does not divide B*K, e.g. an odd post_nms_topk):
+        # the padded tail rows break the "sorted block i IS image i"
+        # identity, so fall back to un-permuting the pooled tensor and
+        # return the identity perm — same caller contract, one extra
+        # gather pass (the configs we ship never hit this).
+        local_perm = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (b, k))
         # undo the window sort (gather by inverse permutation; this sits
         # inside the train path's custom VJP, so it is never differentiated).
         # The inverse is a scatter of iota — a second argsort costs a full

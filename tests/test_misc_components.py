@@ -141,14 +141,20 @@ def test_stem_space_to_depth_exact():
         p = init_conv(jax.random.fold_in(key, h), 7, 7, c, 16)
         x = jax.random.normal(jax.random.fold_in(key, w), (2, h, w, c))
         ref = conv2d(x, p, stride=2, padding=3)
-        got = conv2d_stem_s2d(x, p)
-        assert got.shape == ref.shape == (2, h // 2, w // 2, 16)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
-    # odd spatial size falls back to the direct conv
-    x_odd = jax.random.normal(key, (1, 31, 32, 3))
+        for impl in ("pack24", "wpair", "direct"):
+            got = conv2d_stem_s2d(x, p, impl=impl)
+            assert got.shape == ref.shape == (2, h // 2, w // 2, 16)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5,
+                err_msg=impl,
+            )
+    # odd H (31) with W % 4 == 0 takes the width-pair branch; odd W (31)
+    # takes the generic direct-conv fallback — both must match the 7x7/s2
     p = init_conv(key, 7, 7, 3, 8)
-    np.testing.assert_allclose(
-        np.asarray(conv2d_stem_s2d(x_odd, p)),
-        np.asarray(conv2d(x_odd, p, stride=2, padding=3)),
-        rtol=1e-5, atol=1e-5,
-    )
+    for shape in [(1, 31, 32, 3), (1, 32, 31, 3)]:
+        x_odd = jax.random.normal(key, shape)
+        np.testing.assert_allclose(
+            np.asarray(conv2d_stem_s2d(x_odd, p)),
+            np.asarray(conv2d(x_odd, p, stride=2, padding=3)),
+            rtol=1e-5, atol=1e-5, err_msg=str(shape),
+        )

@@ -102,6 +102,69 @@ def test_pallas_channel_split_c512():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3)
 
 
+def _pool_dual_case(n, k, c=16):
+    """_pool_dual(with_perm=True) on one dispatch branch (n<8 per-stream,
+    n>=8 batch-stacked) must equal the perm-free concat of per-stream pools
+    re-indexed by the returned perm. Pins the invariant the inference path
+    rests on: the window-sort key is box-only and argsort is stable, so the
+    two streams' perms coincide (models/rcnn.py::_pool_dual)."""
+    from proben_tpu.models.rcnn import ROI_IN_FEATURES, _pool_dual
+
+    rng = np.random.RandomState(20 + n)
+    streams = tuple(
+        {f: jnp.asarray(rng.rand(n, BASE // (2 ** i), BASE // (2 ** i), c)
+                        .astype(np.float32))
+         for i, f in enumerate(ROI_IN_FEATURES)}
+        for _ in range(2)
+    )
+    boxes = _boxes(rng, n, k)
+
+    def pool(fs, bx):
+        return multilevel_roi_align_pallas(
+            fs, bx, STRIDES, 7, 0, return_perm=True, interpret=True
+        )
+
+    got, perm = _pool_dual(pool, streams, boxes, with_perm=True)
+    ref = jnp.concatenate(
+        [
+            multilevel_roi_align_pallas(
+                [s[f] for f in ROI_IN_FEATURES], boxes, STRIDES, 7, 0,
+                interpret=True,
+            )
+            for s in streams
+        ],
+        axis=-1,
+    )
+    # row i of the sorted output carries original box perm[i]
+    want = np.take_along_axis(
+        np.asarray(ref), np.asarray(perm)[:, :, None, None, None], axis=1
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=1e-3)
+
+
+def test_pool_dual_with_perm_per_stream_branch():
+    _pool_dual_case(n=2, k=16)
+
+
+def test_pool_dual_with_perm_stacked_branch():
+    _pool_dual_case(n=8, k=8)
+
+
+def test_pallas_return_perm_padded_tail():
+    """r=2 with odd B*K (n_pad != 0) must fall back to the inverse-perm
+    path and return the identity perm instead of asserting (a config with
+    odd post_nms_topk previously worked without return_perm)."""
+    rng = np.random.RandomState(31)
+    feats = _feats(rng, b=1, c=16)
+    boxes = _boxes(rng, 1, 7)  # B*K = 7, odd
+    got, perm = multilevel_roi_align_pallas(
+        feats, boxes, STRIDES, 7, 0, return_perm=True, interpret=True
+    )
+    want = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(perm), np.arange(7)[None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3)
+
+
 def test_pallas_all_identical_boxes():
     """Degenerate extreme: every RoI shares ONE window (a single DMA serves
     the whole grid; slot rotation never advances)."""
