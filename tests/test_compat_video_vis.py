@@ -127,6 +127,58 @@ def test_video_visualizer_class_gate():
     assert c0 != c1
 
 
+def test_visualizer_rotated_and_keypoints():
+    """Extended drawing surface (reference visualizer.py:693,836): rotated
+    boxes land their corners where the corner math says, and keypoint
+    skeleton lines follow metadata connection rules."""
+    from proben_tpu.utils.visualizer import Visualizer
+
+    def bluish(img):  # LINE_AA blends edge pixels; accept near-(255,0,0) BGR
+        return (img[..., 0] > 180) & (img[..., 1] < 90) & (img[..., 2] < 90)
+
+    # axis-aligned 'rotated' box at angle 0: edges at x=20..40, y=22..42
+    vis = Visualizer(_frame())
+    vis.draw_rotated_box_with_label((30, 32, 20, 20, 0.0), color=(255, 0, 0))
+    img = vis.get_image()
+    assert bluish(img[22, 20:40]).any()
+    # 90-degree rotation swaps w/h extents: a (30, 10) box becomes 10 wide
+    vis2 = Visualizer(_frame())
+    vis2.draw_rotated_box_with_label((32, 32, 30, 10, 90.0), color=(255, 0, 0))
+    img2 = vis2.get_image()
+    red2 = np.argwhere(bluish(img2))
+    assert red2[:, 1].max() - red2[:, 1].min() <= 12  # ~10 wide + AA
+    assert red2[:, 0].max() - red2[:, 0].min() >= 28  # ~30 tall
+
+    class Meta:
+        keypoint_names = ("a", "b", "c")
+        keypoint_connection_rules = [("a", "b", (255, 0, 0))]
+
+    vis3 = Visualizer(_frame(), metadata=Meta())
+    vis3.draw_keypoints(np.array([[[10, 10, 1.0], [30, 30, 1.0], [50, 50, 0.0]]]))
+    img3 = vis3.get_image()
+    # connection line drawn in BGR-flipped rule color between a and b
+    px = img3[20, 20]
+    assert px[2] > 180 and px[0] < 90 and px[1] < 90
+    # invisible keypoint c: no circle at (50, 50)
+    assert (img3[50, 50] == 128).all()
+
+
+def test_visualizer_dataset_dict():
+    from proben_tpu.utils.visualizer import Visualizer
+
+    dic = {
+        "annotations": [
+            {"bbox": [10.0, 10.0, 20.0, 20.0], "bbox_mode": 1, "category_id": 0},
+            {"bbox": [5.0, 40.0, 15.0, 55.0], "bbox_mode": 0, "category_id": 1,
+             "iscrowd": 1},
+        ]
+    }
+    vis = Visualizer(_frame())
+    out = vis.draw_dataset_dict(dic).get_image()
+    assert out.shape == (64, 64, 3)
+    assert (out != 128).any()  # something was drawn
+
+
 def test_paper_visualizer_fixed_colors():
     vis = PaperVisualizer(_frame())
     vis.overlay_instances(

@@ -185,6 +185,63 @@ def test_random_crop():
     assert cboxes[0, 2] - cboxes[0, 0] == 50.0
 
 
+def test_color_jitter_blend_semantics():
+    """Reference transform_gen.py :308-413: each color gen lowers to
+    BlendTransform(out = src_w*src + dst_w*img). Closed-form checks at
+    pinned RNG draws; intensity 1 must preserve the image exactly."""
+    from proben_tpu.data.transforms import (
+        ColorAugment,
+        random_brightness,
+        random_contrast,
+        random_lighting,
+        random_saturation,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (8, 10, 3)).astype(np.float32)
+
+    # intensity fixed at 1 -> identity (w=1: 0*src + 1*img)
+    for fn in (random_contrast, random_brightness, random_saturation):
+        np.testing.assert_allclose(
+            fn(img, 1.0, 1.0, np.random.RandomState(1)), img, rtol=1e-6)
+    # closed-form: w drawn from U(lo,hi) with a pinned seed
+    w = np.random.RandomState(2).uniform(0.5, 1.5)
+    np.testing.assert_allclose(
+        random_brightness(img, 0.5, 1.5, np.random.RandomState(2)),
+        w * img, rtol=1e-6)
+    np.testing.assert_allclose(
+        random_contrast(img, 0.5, 1.5, np.random.RandomState(2)),
+        (1 - w) * img.mean() + w * img, rtol=1e-6)
+    gray = img.dot([0.299, 0.587, 0.114])[:, :, None]
+    np.testing.assert_allclose(
+        random_saturation(img, 0.5, 1.5, np.random.RandomState(2)),
+        (1 - w) * gray + w * img, rtol=1e-6)
+    # lighting: adds a per-channel constant (PCA direction); scale=0 -> exact
+    np.testing.assert_allclose(
+        random_lighting(img, 0.0, np.random.RandomState(3)), img, rtol=1e-6)
+    out = random_lighting(img, 0.1, np.random.RandomState(3))
+    shift = out - img
+    assert np.allclose(shift, shift[0, 0][None, None], atol=1e-5)  # constant
+    # the stack composes and keeps shape
+    aug = ColorAugment(contrast=(0.9, 1.1), brightness=(0.9, 1.1),
+                       saturation=(0.9, 1.1), lighting=0.1,
+                       rng=np.random.RandomState(4))
+    assert aug(img).shape == img.shape
+
+
+def test_random_extent():
+    from proben_tpu.data.transforms import random_extent
+
+    img = np.arange(40 * 50 * 3, dtype=np.float32).reshape(40, 50, 3)
+    boxes = np.array([[5.0, 5.0, 20.0, 15.0]], np.float32)
+    out, oboxes = random_extent(img, boxes, (0.8, 1.2), (0.2, 0.2),
+                                np.random.RandomState(0))
+    assert out.ndim == 3 and out.shape[2] == 3
+    # box width/height preserved (pure shift into the subrect frame)
+    assert oboxes[0, 2] - oboxes[0, 0] == 15.0
+    assert oboxes[0, 3] - oboxes[0, 1] == 10.0
+
+
 def test_mapper_with_crop(flir_mini):
     dicts = load_coco_json(flir_mini["json"], flir_mini["thermal"])
     cfg = MapperConfig(pad_shape=(256, 320), max_gt=8,
