@@ -53,7 +53,10 @@ def test_blur_and_maxpool_ablations_train():
         classes=jnp.zeros((1, 1), jnp.int32),
         valid=jnp.ones((1, 1), bool),
     )
-    losses = rcnn_train_losses(params, cfg, images, sizes, gt, jax.random.PRNGKey(1))
+    # jit: eager op-by-op dispatch on the 1-core CPU mesh costs ~5x a compile
+    losses = jax.jit(
+        lambda p, im, sz, g: rcnn_train_losses(p, cfg, im, sz, g, jax.random.PRNGKey(1))
+    )(params, images, sizes, gt)
     for v in losses.values():
         assert np.isfinite(float(v))
 

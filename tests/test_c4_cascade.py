@@ -46,11 +46,15 @@ def test_c4_inference_and_train():
     params = init_rcnn_c4(jax.random.PRNGKey(0), cfg)
     images = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
     sizes = jnp.asarray(np.array([[H, W]], np.int32))
-    det = rcnn_c4_inference(params, cfg, images, sizes)
+    # jit: eager op-by-op dispatch on the 1-core CPU mesh costs ~5x a compile
+    det = jax.jit(lambda p, im, sz: rcnn_c4_inference(p, cfg, im, sz))(
+        params, images, sizes)
     assert det.boxes.shape == (1, 10, 4)
     assert np.isfinite(np.asarray(det.boxes)).all()
-    losses = rcnn_c4_train_losses(params, cfg, images, sizes, _gt(rng),
-                                  jax.random.PRNGKey(1))
+    losses = jax.jit(
+        lambda p, im, sz, g: rcnn_c4_train_losses(p, cfg, im, sz, g,
+                                                  jax.random.PRNGKey(1))
+    )(params, images, sizes, _gt(rng))
     assert {"loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg"} <= set(losses)
     for v in losses.values():
         assert np.isfinite(float(v))
@@ -71,7 +75,9 @@ def test_cascade_heads():
     props = jnp.asarray(np.concatenate([xy, xy + wh], 1).astype(np.float32))
     valid = jnp.ones((20,), bool)
 
-    det = cascade_inference(params, feats, props, valid, (H, W), roi_cfg, rcnn_cfg)
+    det = jax.jit(
+        lambda p, f, pr, v: cascade_inference(p, f, pr, v, (H, W), roi_cfg, rcnn_cfg)
+    )(params, feats, props, valid)
     assert det.boxes.shape == (8, 4)
     assert np.isfinite(np.asarray(det.boxes)).all()
 
@@ -80,8 +86,10 @@ def test_cascade_heads():
         classes=jnp.asarray(np.array([1], np.int32)),
         valid=jnp.ones((1,), bool),
     )
-    losses = cascade_train_losses(params, feats, props, valid, gt,
-                                  jax.random.PRNGKey(2), roi_cfg, rcnn_cfg)
+    losses = jax.jit(
+        lambda p, f, pr, v, g: cascade_train_losses(
+            p, f, pr, v, g, jax.random.PRNGKey(2), roi_cfg, rcnn_cfg)
+    )(params, feats, props, valid, gt)
     assert "loss_cls_stage0" in losses and "loss_box_reg_stage2" in losses
     for v in losses.values():
         assert np.isfinite(float(v))

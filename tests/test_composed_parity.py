@@ -225,8 +225,8 @@ def test_composed_detection_parity(composed):
     ref_scores = r.scores.numpy()
     ref_classes = r.pred_classes.numpy()
 
-    dets = rcnn_inference(
-        params, cfg, jnp.asarray(img[None]),
+    dets = jax.jit(lambda p, im, sz: rcnn_inference(p, cfg, im, sz))(
+        params, jnp.asarray(img[None]),
         jnp.asarray(np.array([[H, W]], np.int32)),
     )
     valid = np.asarray(dets.valid[0])
@@ -309,8 +309,8 @@ def test_composed_middle_fusion_detection_parity(composed_mf):
     ref_scores = r.scores.numpy()
     ref_classes = r.pred_classes.numpy()
 
-    dets = rcnn_inference(
-        params, cfg, jnp.asarray(img[None]),
+    dets = jax.jit(lambda p, im, sz: rcnn_inference(p, cfg, im, sz))(
+        params, jnp.asarray(img[None]),
         jnp.asarray(np.array([[H, W]], np.int32)),
     )
     valid = np.asarray(dets.valid[0])
@@ -424,9 +424,12 @@ def _run_train_parity(model, cfg, params, img):
         classes=jnp.asarray(np.array([[0, 1, 2, 1]], np.int32)),
         valid=jnp.asarray(np.ones((1, N_GT), bool)),
     )
-    losses = rcnn_train_losses(
-        params, cfg_train, jnp.asarray(img[None]),
-        jnp.asarray(np.array([[H, W]], np.int32)), gt, jax.random.PRNGKey(0),
+    losses = jax.jit(
+        lambda p, im, sz, g: rcnn_train_losses(p, cfg_train, im, sz, g,
+                                               jax.random.PRNGKey(0))
+    )(
+        params, jnp.asarray(img[None]),
+        jnp.asarray(np.array([[H, W]], np.int32)), gt,
     )
     ours = {k: float(v) for k, v in losses.items()}
 

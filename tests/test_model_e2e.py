@@ -66,7 +66,10 @@ def test_train_losses_finite(fmt, c):
     params = init_rcnn(jax.random.PRNGKey(0), cfg)
     images, sizes = rand_batch(rng, 2, c)
     gt = rand_gt(rng, 2)
-    losses = rcnn_train_losses(params, cfg, images, sizes, gt, jax.random.PRNGKey(1))
+    # jit: eager op-by-op dispatch on the 1-core CPU mesh costs ~5x a compile
+    losses = jax.jit(
+        lambda p, im, sz, g: rcnn_train_losses(p, cfg, im, sz, g, jax.random.PRNGKey(1))
+    )(params, images, sizes, gt)
     assert set(losses) == {"loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg"}
     for k, v in losses.items():
         assert np.isfinite(float(v)), (k, v)
@@ -79,7 +82,9 @@ def test_gaussian_nll_loss_present():
     assert "var_pred" in params["roi"]["output"]
     images, sizes = rand_batch(rng, 1, 3)
     gt = rand_gt(rng, 1)
-    losses = rcnn_train_losses(params, cfg, images, sizes, gt, jax.random.PRNGKey(1))
+    losses = jax.jit(
+        lambda p, im, sz, g: rcnn_train_losses(p, cfg, im, sz, g, jax.random.PRNGKey(1))
+    )(params, images, sizes, gt)
     assert "gaussian_loss" in losses
     assert np.isfinite(float(losses["gaussian_loss"]))
 
@@ -93,7 +98,9 @@ def test_empty_gt_train():
         boxes=jnp.zeros((1, 4, 4)), classes=jnp.zeros((1, 4), jnp.int32),
         valid=jnp.zeros((1, 4), bool),
     )
-    losses = rcnn_train_losses(params, cfg, images, sizes, gt, jax.random.PRNGKey(1))
+    losses = jax.jit(
+        lambda p, im, sz, g: rcnn_train_losses(p, cfg, im, sz, g, jax.random.PRNGKey(1))
+    )(params, images, sizes, gt)
     for k, v in losses.items():
         assert np.isfinite(float(v)), (k, v)
 
@@ -129,7 +136,7 @@ def test_train_grads_flow_and_freeze():
         losses = rcnn_train_losses(p, cfg, images, sizes, gt, jax.random.PRNGKey(1))
         return sum(losses.values())
 
-    grads = jax.grad(total_loss)(params)
+    grads = jax.jit(jax.grad(total_loss))(params)
     # frozen (freeze_at=2): stem + res2 get zero grads via stop_gradient
     stem_g = np.abs(np.asarray(grads["backbone"]["stem"]["conv1"]["w"])).max()
     res2_g = np.abs(np.asarray(grads["backbone"]["res2"][0]["norm3"]["scale"])).max()

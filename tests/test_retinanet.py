@@ -32,7 +32,10 @@ def test_retinanet_losses_finite():
     params = init_retinanet(jax.random.PRNGKey(0), cfg)
     images = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32) * 255)
     sizes = jnp.asarray(np.tile([[H, W]], (2, 1)).astype(np.int32))
-    losses = retinanet_losses(params, cfg, images, sizes, _gt(rng, 2))
+    # jit: eager op-by-op dispatch on the 1-core CPU mesh costs ~5x a compile
+    losses = jax.jit(
+        lambda p, im, sz, g: retinanet_losses(p, cfg, im, sz, g)
+    )(params, images, sizes, _gt(rng, 2))
     assert set(losses) == {"loss_cls", "loss_box_reg"}
     for k, v in losses.items():
         assert np.isfinite(float(v)), (k, v)
@@ -46,7 +49,9 @@ def test_retinanet_empty_gt():
     sizes = jnp.asarray(np.array([[H, W]], np.int32))
     gt = GroundTruth(boxes=jnp.zeros((1, 3, 4)), classes=jnp.zeros((1, 3), jnp.int32),
                      valid=jnp.zeros((1, 3), bool))
-    losses = retinanet_losses(params, cfg, images, sizes, gt)
+    losses = jax.jit(
+        lambda p, im, sz, g: retinanet_losses(p, cfg, im, sz, g)
+    )(params, images, sizes, gt)
     for v in losses.values():
         assert np.isfinite(float(v))
 
