@@ -156,7 +156,7 @@ def _pack24_weights(w: Array) -> Array:
     return jnp.transpose(sel, (0, 1, 2, 4, 3, 5)).reshape(4, 3, 8 * c, 2 * o)
 
 
-def conv2d_stem_s2d(x: Array, params, dtype=None, impl: str = "pack24") -> Array:
+def conv2d_stem_s2d(x: Array, params, dtype=None, impl: str = "wpair") -> Array:
     """The 7x7/stride-2 stem conv (reference ``resnet.py`` BasicStem) computed
     as an exact 12-tap conv on 2x4 (H-pair x W-quad) space-to-depth input.
 
@@ -189,7 +189,7 @@ def conv2d_stem_s2d(x: Array, params, dtype=None, impl: str = "pack24") -> Array
         w = w.astype(dtype)
     # impl is threaded from ModelConfig.stem_impl (MODEL.STEM_IMPL) — a
     # visible, checkpointable switch instead of a trace-time env read:
-    # "pack24" (2x4 space-to-depth, default), "wpair" (width-pair 7x4),
+    # "wpair" (width-pair 7x4, default), "pack24" (2x4 space-to-depth),
     # "direct" (plain 7x7/s2 conv). Unsupported shapes fall through.
     if (w.shape[0] == 7 and w.shape[1] == 7 and wd % 4 == 0 and h % 2 == 0
             and impl == "pack24"):

@@ -76,9 +76,11 @@ class ModelConfig:
     max_pool_rgb: bool = False
     # checkpoint backbone blocks during training (memory for big batches)
     remat_backbone: bool = False
-    # stem lowering: "pack24" (2x4 space-to-depth — see layers.py
-    # conv2d_stem_s2d), "wpair" (width-pair 7x4), "direct" (plain 7x7/s2)
-    stem_impl: str = "pack24"
+    # stem lowering: "wpair" (width-pair 7x4 space-to-depth — see layers.py
+    # conv2d_stem_s2d), "pack24" (2x4 s2d — faster standalone but its graph
+    # context trips the Mosaic pooling cliff at b8: 155 vs 56 ms/batch
+    # end-to-end, dev/stem_ab.py round 5), "direct" (plain 7x7/s2)
+    stem_impl: str = "wpair"
     rpn: RPNConfig = dataclasses.field(default_factory=RPNConfig)
     roi: ROIHeadsConfig = dataclasses.field(default_factory=ROIHeadsConfig)
     rcnn: FastRCNNConfig = dataclasses.field(default_factory=FastRCNNConfig)

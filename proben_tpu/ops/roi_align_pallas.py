@@ -471,7 +471,8 @@ def multilevel_roi_align_pallas(
     # barrier pins the producer/kernel scheduling boundary and restores the
     # fast mode (dev/mosaic_cliff_repro.py pins this trigger); the operands
     # are materialized FPN maps either way, so it costs nothing.
-    feats = list(jax.lax.optimization_barrier(tuple(feats)))
+    if os.environ.get("PROBEN_POOL_BARRIER", "1") == "1":
+        feats = list(jax.lax.optimization_barrier(tuple(feats)))
     if os.environ.get("PROBEN_POOL_FLATTEN", "0") == "1":
         # layout-normalization probe: flatten+reshape is a bitcast when the
         # level map already has the default layout, a relayout copy when an
