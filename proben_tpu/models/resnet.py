@@ -22,6 +22,7 @@ from typing import Dict, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.stem_pallas import stem_pool_pallas, stem_supported
 from .layers import affine, conv2d, conv2d_stem_s2d, init_affine, init_conv, max_pool
 
 Array = jnp.ndarray
@@ -116,11 +117,30 @@ def apply_resnet(
     each residual block (recompute activations in backward) — trades ~30%
     step time for the memory to fit large training batches."""
     out: Dict[str, Array] = {}
-    h = conv2d_stem_s2d(x, params["stem"]["conv1"], dtype=dtype, impl=stem_impl)
-    h = jax.nn.relu(affine(h, params["stem"]["norm1"]))
-    h = max_pool(h, 3, 2, padding=1)
-    if freeze_at >= 1:
-        h = jax.lax.stop_gradient(h)
+    conv1 = params["stem"]["conv1"]
+    norm1 = params["stem"]["norm1"]
+    if (
+        stem_impl == "pallas"
+        and dtype == jnp.bfloat16
+        and conv1["w"].shape[:2] == (7, 7)
+        and stem_supported(x.shape[-3], x.shape[-2], x.shape[-1],
+                           conv1["w"].shape[3], dtype)
+    ):
+        # fused conv+affine+relu+maxpool (ops/stem_pallas.py); an optional
+        # conv bias folds into the affine: scale*(conv+b)+bias
+        bias = norm1["bias"]
+        if "b" in conv1:
+            bias = bias + norm1["scale"] * conv1["b"]
+        h = stem_pool_pallas(x, conv1["w"], norm1["scale"], bias)
+        if freeze_at >= 1:
+            h = jax.lax.stop_gradient(h)
+    else:
+        impl = "wpair" if stem_impl == "pallas" else stem_impl
+        h = conv2d_stem_s2d(x, conv1, dtype=dtype, impl=impl)
+        h = jax.nn.relu(affine(h, norm1))
+        h = max_pool(h, 3, 2, padding=1)
+        if freeze_at >= 1:
+            h = jax.lax.stop_gradient(h)
     if "stem" in out_features:
         out["stem"] = h
 

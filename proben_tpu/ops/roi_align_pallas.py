@@ -478,6 +478,21 @@ def multilevel_roi_align_pallas(
         # level map already has the default layout, a relayout copy when an
         # upstream layout choice propagated into it
         feats = [f.reshape(-1).reshape(f.shape) for f in feats]
+    if os.environ.get("PROBEN_POOL_REALLOC", "0") == "1":
+        # buffer-REALLOCATION probe for the ~28 us/step cliff mode that the
+        # scheduling barrier does NOT fix (round 5: pack24 AND pallas-stem
+        # graph contexts both flip the kernel 13.4 -> 111 ms with identical
+        # kernel MLIR): if the slowdown is runtime HBM placement (bank
+        # aliasing between the level maps and concurrent traffic) rather
+        # than codegen, forcing each map into a fresh, differently-sized
+        # allocation at a shifted offset should restore the fast mode. The
+        # barrier keeps the pad+slice from being simplified away.
+        padded = [
+            jnp.pad(f, ((0, 0), (0, 8 * (i + 1)), (0, 0), (0, 0)))
+            for i, f in enumerate(feats)
+        ]
+        padded = list(jax.lax.optimization_barrier(tuple(padded)))
+        feats = [q[:, : f.shape[1]] for q, f in zip(padded, feats)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
