@@ -21,6 +21,8 @@ from proben_tpu.models import init_rcnn, rcnn_inference
 
 cfg = get_cfg()
 cfg.merge_from_file("/root/repo/configs/FLIR-Detection/faster_rcnn_R_101_FLIR_middle_fusion.yaml")
+if os.environ.get("MF_STEM"):
+    cfg.MODEL.STEM_IMPL = os.environ["MF_STEM"]
 mcfg = model_config_from_cfg(cfg)
 params = jax.jit(lambda k: init_rcnn(k, mcfg))(jax.random.PRNGKey(0))
 rng = np.random.RandomState(0)

@@ -24,7 +24,7 @@ _DEFAULTS = {
         # TPU-specific: compute precision for the conv path
         "COMPUTE_DTYPE": "float32",
         "ROI_ALIGN_IMPL": "pallas",  # pallas | gather (see ops/roi_align_pallas.py)
-        "STEM_IMPL": "wpair",  # wpair | pack24 | direct (layers.conv2d_stem_s2d)
+        "STEM_IMPL": "pallas",  # pallas | wpair | pack24 | direct (ops/stem_pallas.py)
         "REMAT_BACKBONE": False,  # checkpoint backbone blocks (big-batch training)
         "MIDDLE_FUSION_INFERENCE_SHARES_BACKBONE": False,
         "BACKBONE": {"NAME": "build_resnet_fpn_backbone", "FREEZE_AT": 2},
@@ -166,7 +166,7 @@ def model_config_from_cfg(cfg: CfgNode):
         blur_rgb=m.BLUR_RGB,
         max_pool_rgb=m.MAX_POOL_RGB,
         roi_align_impl=m.ROI_ALIGN_IMPL,
-        stem_impl=m.get("STEM_IMPL", "wpair"),
+        stem_impl=m.get("STEM_IMPL", "pallas"),
         remat_backbone=m.REMAT_BACKBONE,
         middle_fusion_inference_shares_backbone=m.MIDDLE_FUSION_INFERENCE_SHARES_BACKBONE,
         rpn=RPNConfig(

@@ -76,11 +76,12 @@ class ModelConfig:
     max_pool_rgb: bool = False
     # checkpoint backbone blocks during training (memory for big batches)
     remat_backbone: bool = False
-    # stem lowering: "wpair" (width-pair 7x4 space-to-depth — see layers.py
-    # conv2d_stem_s2d), "pack24" (2x4 s2d — faster standalone but its graph
-    # context trips the Mosaic pooling cliff at b8: 155 vs 56 ms/batch
-    # end-to-end, dev/stem_ab.py round 5), "direct" (plain 7x7/s2)
-    stem_impl: str = "wpair"
+    # stem lowering: "pallas" (fused conv+BN+relu+maxpool kernel, see
+    # ops/stem_pallas.py — falls back to wpair off the supported-shape
+    # gate), "wpair" (width-pair 7x4 s2d conv, layers.conv2d_stem_s2d),
+    # "pack24" (2x4 s2d — fast standalone but historically cliff-prone,
+    # dev/stem_ab.py round 5), "direct" (plain 7x7/s2)
+    stem_impl: str = "pallas"
     rpn: RPNConfig = dataclasses.field(default_factory=RPNConfig)
     roi: ROIHeadsConfig = dataclasses.field(default_factory=ROIHeadsConfig)
     rcnn: FastRCNNConfig = dataclasses.field(default_factory=FastRCNNConfig)
@@ -283,6 +284,7 @@ def rcnn_inference(
                 cfg.roi.pooler_sampling_ratio,
                 fallback_capacity=cfg.roi.fallback_capacity,
                 return_perm=True,
+                realloc=True,  # inference-surface cliff guard (docs/PERF.md)
             )
 
         if streams is not None:

@@ -109,7 +109,7 @@ def apply_resnet(
     freeze_at: int = 0,
     dtype=None,
     remat: bool = False,
-    stem_impl: str = "wpair",
+    stem_impl: str = "pallas",
 ) -> Dict[str, Array]:
     """Run the backbone. ``freeze_at`` semantics mirror the reference
     (1 = freeze stem, 2 = +res2, ...): frozen sections run under

@@ -315,8 +315,16 @@ def multilevel_roi_align_pallas(
     fallback_capacity: int = 32,
     interpret: Optional[bool] = None,
     return_perm: bool = False,
+    realloc: bool = False,
 ) -> Array:
     """Batched multi-level RoIAlignV2. Returns (B, K, P, P, C).
+
+    ``realloc`` enables the level-map buffer-reallocation cliff guard (see
+    inline comment below). Callers opt in PER SURFACE: the buffer-placement
+    cliff is program-specific — the guard measured 151.0 -> 54.7 ms/batch
+    on the b8 inference graph but 129 -> 180 ms/step on the b8 TRAIN graph
+    (round 5), so inference passes True and the train wrapper False.
+    ``PROBEN_POOL_REALLOC=0/1`` force-overrides for probing.
 
     With ``return_perm`` returns (pooled, perm) where ``pooled`` stays in the
     kernel's window-sorted order and ``perm`` (B, K) holds per-image local
@@ -339,7 +347,7 @@ def multilevel_roi_align_pallas(
                 [f[..., lo:hi] for f in features], boxes, list(strides),
                 output_size, sampling_ratio, min_level, canonical_box_size,
                 canonical_level, s_max, fallback_capacity, interpret,
-                return_perm,
+                return_perm, realloc,
             )
             for lo, hi in ((0, split), (split, c_total))
         ]
@@ -478,15 +486,18 @@ def multilevel_roi_align_pallas(
         # level map already has the default layout, a relayout copy when an
         # upstream layout choice propagated into it
         feats = [f.reshape(-1).reshape(f.shape) for f in feats]
-    if os.environ.get("PROBEN_POOL_REALLOC", "0") == "1":
-        # buffer-REALLOCATION probe for the ~28 us/step cliff mode that the
+    env_realloc = os.environ.get("PROBEN_POOL_REALLOC")
+    if realloc if env_realloc is None else env_realloc == "1":
+        # buffer REALLOCATION guard for the ~28 us/step cliff mode that the
         # scheduling barrier does NOT fix (round 5: pack24 AND pallas-stem
-        # graph contexts both flip the kernel 13.4 -> 111 ms with identical
-        # kernel MLIR): if the slowdown is runtime HBM placement (bank
-        # aliasing between the level maps and concurrent traffic) rather
-        # than codegen, forcing each map into a fresh, differently-sized
-        # allocation at a shifted offset should restore the fast mode. The
-        # barrier keeps the pad+slice from being simplified away.
+        # graph contexts both flipped the kernel 13.4 -> 111 ms/batch with
+        # identical kernel MLIR — so the slowdown is runtime HBM buffer
+        # placement, not Mosaic codegen): forcing each level map into a
+        # fresh, differently-sized allocation at a shifted offset restores
+        # the fast mode (151.0 -> 54.7 ms/batch b8 flagship, pallas stem).
+        # Placement is program-specific, hence the per-surface opt-in (see
+        # docstring). Costs 4 map copies (~35 MB, ~0.1 ms). The barrier
+        # keeps the pad+slice from being simplified away.
         padded = [
             jnp.pad(f, ((0, 0), (0, 8 * (i + 1)), (0, 0), (0, 0)))
             for i, f in enumerate(feats)
