@@ -6,7 +6,7 @@ import bench as _bench
 from proben_tpu.models import build_config, init_rcnn, rcnn_inference
 
 _bench.enable_compile_cache()
-cfg = build_config(depth=101, input_format="BGR", num_classes=3, compute_dtype="bfloat16", stem_impl=os.environ.get("SWEEP_STEM", "wpair"))
+cfg = build_config(depth=101, input_format="BGR", num_classes=3, compute_dtype="bfloat16", stem_impl=os.environ.get("SWEEP_STEM", "pallas"))
 params = _bench.host_init(lambda k: init_rcnn(k, cfg), jax.random.PRNGKey(0))
 params = _bench.calibrate_heads(params, bg_bias=6.0)
 rng = np.random.RandomState(0)

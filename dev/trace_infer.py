@@ -12,7 +12,7 @@ from proben_tpu.models import build_config, init_rcnn, rcnn_inference
 import bench as _bench
 
 batch = int(os.environ.get("TRACE_BATCH", "8"))
-cfg = build_config(depth=101, input_format="BGR", num_classes=3, compute_dtype="bfloat16", stem_impl=os.environ.get("TRACE_STEM", "wpair"))
+cfg = build_config(depth=101, input_format="BGR", num_classes=3, compute_dtype="bfloat16", stem_impl=os.environ.get("TRACE_STEM", "pallas"))
 params = _bench.host_init(lambda k: init_rcnn(k, cfg), jax.random.PRNGKey(0))
 # trained-like score realism (same calibration the bench applies)
 params = _bench.calibrate_heads(params, bg_bias=6.0)

@@ -496,14 +496,16 @@ def multilevel_roi_align_pallas(
         # fresh, differently-sized allocation at a shifted offset restores
         # the fast mode (151.0 -> 54.7 ms/batch b8 flagship, pallas stem).
         # Placement is program-specific, hence the per-surface opt-in (see
-        # docstring). Costs 4 map copies (~35 MB, ~0.1 ms). The barrier
-        # keeps the pad+slice from being simplified away.
-        padded = [
+        # docstring). Costs 4 map copies (~35 MB, pad fusion 0.66 ms at b8;
+        # the padded maps feed the kernel DIRECTLY — window origins are
+        # clamped to the pre-pad bounds, so the extra rows are never read
+        # and the round-trip slice-back copy (0.64 ms) is unnecessary. The
+        # barrier keeps XLA from folding the pads away.
+        feats = [
             jnp.pad(f, ((0, 0), (0, 8 * (i + 1)), (0, 0), (0, 0)))
             for i, f in enumerate(feats)
         ]
-        padded = list(jax.lax.optimization_barrier(tuple(padded)))
-        feats = [q[:, : f.shape[1]] for q, f in zip(padded, feats)]
+        feats = list(jax.lax.optimization_barrier(tuple(feats)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
