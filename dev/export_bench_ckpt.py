@@ -41,6 +41,10 @@ def main():
     cfg.SOLVER.CHECKPOINT_PERIOD = 10 ** 9  # no periodic saves
     cfg.TEST.EVAL_PERIOD = 0
     cfg.OUTPUT_DIR = tempfile.mkdtemp()
+    if os.environ.get("EXPORT_STEM"):
+        cfg.MODEL.STEM_IMPL = os.environ["EXPORT_STEM"]
+    if os.environ.get("EXPORT_ROI"):
+        cfg.MODEL.ROI_ALIGN_IMPL = os.environ["EXPORT_ROI"]
 
     root = tempfile.mkdtemp()
     jp, tdir = make_synthetic_dataset(root, n=8)

@@ -80,6 +80,13 @@ def roi_level_assignment(
     )
     sqrt_area = jnp.sqrt(area)
     lvl = jnp.floor(canonical_level + jnp.log2(sqrt_area / canonical_box_size + 1e-8))
+    # total under non-finite boxes: clip(NaN) stays NaN and the int cast of
+    # NaN is implementation-defined — a garbage level reaches the Pallas
+    # kernel as a start-DMA branch that never fires while its semaphore
+    # wait still runs, hanging the chip until the watchdog kills the worker
+    # (reproduced: dev/nan_box_repro.py; a mid-divergence training step
+    # must produce garbage outputs, not a dead TPU)
+    lvl = jnp.where(jnp.isfinite(lvl), lvl, float(min_level))
     return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
 
 

@@ -387,7 +387,11 @@ def multilevel_roi_align_pallas(
     levels = roi_level_assignment(
         flat_boxes, min_level, min_level + 3, canonical_box_size, canonical_level
     )
-    lvl_idx = levels - min_level
+    # defense in depth for the kernel's lvl-dispatched DMA starts: an
+    # out-of-range level would skip the start while the class-dispatched
+    # wait still runs — a chip-hanging semaphore deadlock (see
+    # roi_level_assignment's non-finite guard; int clip is total)
+    lvl_idx = jnp.clip(levels - min_level, 0, 3)
 
     y0w, x0w, wy, wx, oow = build_window_weights(
         flat_boxes, lvl_idx, strides, heights, widths, pad_hs, pad_ws,

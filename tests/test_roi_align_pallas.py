@@ -173,3 +173,33 @@ def test_pallas_all_identical_boxes():
     one = np.array([[30.0, 40.0, 90.0, 120.0]], np.float32)
     boxes = jnp.asarray(np.tile(one, (B, K, 1)))
     _check(feats, boxes, ratio=0)
+
+
+def test_nonfinite_boxes_yield_inrange_indices():
+    """Non-finite boxes must produce in-range level/window indices: a garbage
+    level skips the kernel's lvl-dispatched DMA start while its class-
+    dispatched semaphore wait still runs — a chip-hanging deadlock on real
+    hardware (reproduced + fixed round 5, dev/nan_box_repro.py)."""
+    from proben_tpu.ops.roi_align import build_window_weights, roi_level_assignment
+
+    boxes = jnp.asarray([
+        [10.0, 10.0, 50.0, 80.0],
+        [np.nan, np.nan, np.nan, np.nan],
+        [np.inf, np.inf, np.inf, np.inf],
+        [-np.inf, -np.inf, -np.inf, -np.inf],
+        [100.0, np.nan, 200.0, 150.0],
+    ])
+    levels = roi_level_assignment(boxes, 2, 5, 224.0, 4)
+    assert ((levels >= 2) & (levels <= 5)).all(), np.asarray(levels)
+    lvl = jnp.clip(levels - 2, 0, 3)
+    heights = jnp.asarray([200, 100, 50, 25], jnp.int32)
+    widths = jnp.asarray([256, 128, 64, 32], jnp.int32)
+    pad_hs = jnp.asarray([200, 104, 64, 64], jnp.int32)
+    pad_ws = jnp.asarray([256, 128, 64, 64], jnp.int32)
+    y0, x0, wy, wx, oow = build_window_weights(
+        boxes, lvl, [4, 8, 16, 32], heights, widths, pad_hs, pad_ws, 7, 0, 16
+    )
+    y0, x0 = np.asarray(y0), np.asarray(x0)
+    ph, pw = np.asarray(pad_hs)[np.asarray(lvl)], np.asarray(pad_ws)[np.asarray(lvl)]
+    assert ((y0 >= 0) & (y0 <= ph - 56)).all(), y0
+    assert ((x0 >= 0) & (x0 <= pw - 64)).all(), x0
