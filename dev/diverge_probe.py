@@ -13,7 +13,7 @@ import tempfile
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
-from export_bench_ckpt import make_synthetic_dataset  # noqa: E402
+from instant_train import make_synthetic_dataset  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
